@@ -11,10 +11,11 @@ CHUNK, LEAST = 32000, 16000
 def test_train_chunks_overlap():
     x = np.arange(80000, dtype=np.float32)
     chunks = train_chunks(x, CHUNK, LEAST)
-    # windows at 0, 16000, 32000, 48000(padded tail 48000..80000 = full)
+    # windows at 0, 16000, 32000, 48000, 64000 (last one zero-padded)
     assert all(c.shape == (CHUNK,) for c in chunks)
     assert chunks[0][0] == 0 and chunks[1][0] == LEAST
-    assert len(chunks) == 4
+    assert len(chunks) == 5
+    assert chunks[-1][LEAST:].sum() == 0
 
 
 def test_train_chunks_short_padded_and_dropped():
