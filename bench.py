@@ -1,0 +1,72 @@
+"""Benchmark: MISO1 separation throughput in audio-seconds/s/chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio-s/s/chip", "vs_baseline": N}
+
+The workload is the reference pipeline's hot loop — the MISO1 forward on
+4-second 6-channel chunks ([B, 6, 501, 129] complex spectrograms,
+SURVEY.md §3 hot-loop a).  ``vs_baseline`` compares against the PyTorch
+reference model forward measured on CPU in this container
+(BENCH_BASELINE.json; north star is >=8x, /root/repo/BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from misonet_tpu.config import ModelConfig, StftConfig
+from misonet_tpu.models import make_miso1
+
+
+def main() -> None:
+    stft_cfg = StftConfig()
+    chunk_seconds = 4.0
+    t = stft_cfg.num_frames(int(chunk_seconds * stft_cfg.fs))  # 501
+    f = stft_cfg.num_bins                                      # 129
+    b, c = 8, 6
+
+    platform = jax.devices()[0].platform
+    compute = "bfloat16" if platform != "cpu" else "float32"
+    model = make_miso1(ModelConfig(compute_dtype=compute))
+
+    key = jax.random.key(0)
+    kr, ki, kp = jax.random.split(key, 3)
+    mix = jax.lax.complex(
+        jax.random.normal(kr, (b, c, t, f)), jax.random.normal(ki, (b, c, t, f))
+    )
+    params = model.init(kp, mix[:1])
+
+    fwd = jax.jit(model.apply)
+    fwd(params, mix)[0].block_until_ready()  # compile + warmup
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, mix)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_s_per_s = b * chunk_seconds * iters / dt
+    baseline = json.loads(
+        (Path(__file__).parent / "BENCH_BASELINE.json").read_text()
+    )["audio_seconds_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "miso1_separation_throughput",
+                "value": round(audio_s_per_s, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(audio_s_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Offline dataset extraction (ETL): wav corpora -> chunked array shards.
+
+Reference counterparts: main_smswsj / chunkSplit (dataloader/SMS_WSJ.py:31-312)
+and the REVERB_2MIX / RIR_mixing variants (dataloader/REVERB_2MIX.py,
+RIR_mixing.py).  Same contract — each training example is a dict with the
+mixture and per-speaker reference signals chunked to 4 s windows at 2 s hop —
+but stored as compressed .npz shards instead of per-chunk pickles, and
+parallelized per host (each process extracts an interleaved slice of the
+utterance list; SURVEY.md §2.10 item 5) with a local process pool replacing
+the reference's Pool(cpu_count()) (SMS_WSJ.py:276-280).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from misonet_tpu.data.wavio import read_wav
+from misonet_tpu.ops.chunk import train_chunks
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractionSpec:
+    """One utterance to extract: mixture wav + per-speaker source wavs.
+
+    For SMS-WSJ the mixture is ``observation/<utt>.wav`` and sources are
+    ``speech_source/<utt>_0.wav`` / ``_1.wav`` (SMS_WSJ.py:283-312)."""
+
+    utt_id: str
+    mix_path: str
+    source_paths: tuple[str, ...]
+
+
+def discover_smswsj(
+    observation_dir: str | Path,
+    source_dir: str | Path,
+    num_spks: int = 2,
+) -> list[ExtractionSpec]:
+    """Walk an SMS-WSJ-layout corpus directory into extraction specs."""
+    specs = []
+    for mix_path in sorted(Path(observation_dir).glob("*.wav")):
+        utt = mix_path.stem
+        sources = tuple(
+            str(Path(source_dir) / f"{utt}_{s}.wav") for s in range(num_spks)
+        )
+        if all(Path(s).exists() for s in sources):
+            specs.append(ExtractionSpec(utt, str(mix_path), sources))
+    return specs
+
+
+def extract_utterance(
+    spec: ExtractionSpec, out_dir: str | Path, chunk: int, least: int
+) -> int:
+    """Chunk one utterance into .npz shards {mix [S,C], ref1 [S], ref2 [S]}
+    (the reference's per-chunk pickle dict contract, SMS_WSJ.py:147-226).
+    Returns the number of chunks written."""
+    mix, _ = read_wav(spec.mix_path)
+    if mix.ndim == 1:
+        mix = mix[:, None]
+    refs = []
+    for p in spec.source_paths:
+        r, _ = read_wav(p)
+        refs.append(r[:, 0] if r.ndim > 1 else r)
+
+    mix_chunks = train_chunks(mix, chunk, least)
+    ref_chunks = [train_chunks(r, chunk, least) for r in refs]
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for i, mc in enumerate(mix_chunks):
+        payload = {"mix": mc.astype(np.float32)}
+        for s, rc in enumerate(ref_chunks):
+            payload[f"ref{s + 1}"] = rc[i].astype(np.float32)
+        np.savez(out / f"{spec.utt_id}_chunk{i:03d}.npz", **payload)
+    return len(mix_chunks)
+
+
+def extract_corpus(
+    specs: list[ExtractionSpec],
+    out_dir: str | Path,
+    chunk: int,
+    least: int,
+    host_index: int = 0,
+    host_count: int = 1,
+    workers: int = 0,
+) -> int:
+    """Extract a corpus slice.  Each host takes utterances
+    ``specs[host_index::host_count]`` (per-host input sharding); within a
+    host a process pool fans out utterances when ``workers`` > 1."""
+    mine = specs[host_index::host_count]
+    if workers and workers > 1:
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            counts = list(
+                pool.map(
+                    _extract_one,
+                    [(s, str(out_dir), chunk, least) for s in mine],
+                )
+            )
+        return sum(counts)
+    return sum(extract_utterance(s, out_dir, chunk, least) for s in mine)
+
+
+def _extract_one(args) -> int:
+    spec, out_dir, chunk, least = args
+    return extract_utterance(spec, out_dir, chunk, least)

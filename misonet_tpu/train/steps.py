@@ -20,7 +20,9 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from misonet_tpu.config import StftConfig
 from misonet_tpu.losses import loss_upit, loss_enhance
+from misonet_tpu.ops.stft import stft_scaled
 from misonet_tpu.train.state import TrainState
 
 
@@ -72,6 +74,58 @@ def make_separate_eval_step(model, ref_ch: int = 0, mesh: Mesh | None = None) ->
     (trainer.py:224 equivalent: same loss, no update)."""
 
     def step(params, mix: jnp.ndarray, ref: jnp.ndarray):
+        mix = jnp.roll(mix, -ref_ch, axis=1)
+        est = model.apply(params, mix)
+        return loss_upit(est, ref), est
+
+    repl, data = _shardings(mesh, 2)
+    return jax.jit(step, in_shardings=(repl, *data[1:]) if data else None)
+
+
+def make_separate_wave_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    stft_cfg: StftConfig,
+    ref_ch: int = 0,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """MISO1 training step over *time-domain* batches: the STFT runs on
+    device inside the same jitted computation as the forward/backward.
+
+    The reference computes scipy STFTs in 70 DataLoader worker processes
+    (data.py:58, NN_BSS.yml:96 — the CPU bottleneck, SURVEY.md §3.2); here
+    the host ships raw audio and the featurization is fused into the step.
+
+    (state, mix_wave [B, S, C] f32, ref_wave [B, num_spks, S] f32)
+        -> (state, metrics)."""
+
+    def step(state: TrainState, mix_wave: jnp.ndarray, ref_wave: jnp.ndarray):
+        # [B, S, C] -> [B, C, S] -> stft [B, C, T, F] (data.py:77-79)
+        mix = stft_scaled(mix_wave.transpose(0, 2, 1), stft_cfg)
+        ref = stft_scaled(ref_wave, stft_cfg)  # [B, num_spks, T, F]
+        mix = jnp.roll(mix, -ref_ch, axis=1)
+
+        def loss_fn(params):
+            est = model.apply(params, mix)
+            return loss_upit(est, ref)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = _apply_update(state, grads, optimizer)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    repl, data = _shardings(mesh, 2)
+    return jax.jit(step, in_shardings=(repl, *data[1:]) if data else None,
+                   donate_argnums=(0,))
+
+
+def make_separate_wave_eval_step(
+    model, stft_cfg: StftConfig, ref_ch: int = 0, mesh: Mesh | None = None
+) -> Callable:
+    """(params, mix_wave [B,S,C], ref_wave [B,spks,S]) -> (loss, est)."""
+
+    def step(params, mix_wave: jnp.ndarray, ref_wave: jnp.ndarray):
+        mix = stft_scaled(mix_wave.transpose(0, 2, 1), stft_cfg)
+        ref = stft_scaled(ref_wave, stft_cfg)
         mix = jnp.roll(mix, -ref_ch, axis=1)
         est = model.apply(params, mix)
         return loss_upit(est, ref), est

@@ -1,0 +1,109 @@
+"""Data pipeline tests: ETL extraction, shard dataset, batcher, and the
+wave-input train step (reference dataloader/SMS_WSJ.py + data.py)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from misonet_tpu.data import ShardDataset, Batcher, synth_mixture, synth_shard_dir
+from misonet_tpu.data.wavio import read_wav, write_wav
+
+FS, CHUNK, LEAST = 8000, 32000, 16000
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((1000, 3)) * 0.1).astype(np.float32)
+    write_wav(tmp_path / "a.wav", x, FS)
+    y, sr = read_wav(tmp_path / "a.wav")
+    assert sr == FS and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1e-4)  # int16 quantization
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    return synth_shard_dir(
+        tmp_path_factory.mktemp("data"),
+        num_utts=4,
+        num_samples=48000,  # -> 2 chunks/utt (windows at 0 and 16000)
+        num_ch=6,
+        chunk=CHUNK,
+        least=LEAST,
+    )
+
+
+def test_extraction_and_dataset(shard_dir):
+    ds = ShardDataset(shard_dir)
+    assert len(ds) >= 8
+    item = ds[0]
+    assert item["mix"].shape == (CHUNK, 6)
+    assert item["ref"].shape == (2, CHUNK)
+    assert item["mix"].dtype == np.float32
+
+
+def test_dataset_host_sharding(shard_dir):
+    full = ShardDataset(shard_dir)
+    parts = [ShardDataset(shard_dir, host_index=i, host_count=2) for i in range(2)]
+    assert len(parts[0]) + len(parts[1]) == len(full)
+    names = {f.name for p in parts for f in p.files}
+    assert names == {f.name for f in full.files}
+
+
+def test_batcher_shapes_and_determinism(shard_dir):
+    ds = ShardDataset(shard_dir)
+    batches = list(Batcher(ds, batch_size=4, shuffle=True, seed=7))
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["mix"].shape == (4, CHUNK, 6)
+    assert b["ref"].shape == (4, 2, CHUNK)
+
+
+def test_reference_pickle_format(tmp_path):
+    """Legacy reference shards ({mix, ref1, ref2} pickles, data.py:72-77)
+    load through the same dataset."""
+    d = synth_mixture(0, CHUNK, 4)
+    payload = {"mix": d["mix"], "ref1": d["ref"][0], "ref2": d["ref"][1]}
+    with open(tmp_path / "x.pickle", "wb") as f:
+        pickle.dump(payload, f)
+    ds = ShardDataset(tmp_path)
+    item = ds[0]
+    assert item["mix"].shape == (CHUNK, 4)
+    np.testing.assert_allclose(item["ref"][0], d["ref"][0])
+
+
+def test_wave_train_step(shard_dir):
+    """End-to-end config-1 slice (BASELINE.json): wave batch -> on-device
+    STFT -> MISO1 forward -> uPIT loss -> update, loss finite & decreasing."""
+    import jax
+    from misonet_tpu.config import ModelConfig, OptimizerConfig, StftConfig
+    from misonet_tpu.models import make_miso1
+    from misonet_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_separate_wave_train_step,
+    )
+
+    ds = ShardDataset(shard_dir)
+    batch = next(iter(Batcher(ds, batch_size=2, shuffle=False)))
+    # trim to a short window so the CPU test stays fast
+    mix = batch["mix"][:, :4096, :]
+    ref = batch["ref"][:, :, :4096]
+
+    stft_cfg = StftConfig()
+    model = make_miso1(ModelConfig(compute_dtype="float32"))
+    import jax.numpy as jnp
+    from misonet_tpu.ops.stft import stft_scaled
+
+    probe = stft_scaled(jnp.asarray(mix).transpose(0, 2, 1), stft_cfg)
+    params = model.init(jax.random.key(0), probe)
+    opt = make_optimizer(OptimizerConfig())
+    state = create_train_state(params, opt)
+    step = make_separate_wave_train_step(model, opt, stft_cfg)
+
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, jnp.asarray(mix), jnp.asarray(ref))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
