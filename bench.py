@@ -8,12 +8,20 @@ The workload is the reference pipeline's hot loop — the MISO1 forward on
 SURVEY.md §3 hot-loop a).  ``vs_baseline`` compares against the PyTorch
 reference model forward measured on CPU in this container
 (BENCH_BASELINE.json; north star is >=8x, /root/repo/BASELINE.json).
+
+Timing protocol: the axon relay executes asynchronously and dedupes
+identical dispatches, so wall-timing repeated ``fn(x)`` calls measures
+nothing.  We instead time one jitted computation containing a
+data-dependent scan of N model forwards, fetch a scalar result (which
+forces completion), and difference two trip counts to cancel the fixed
+dispatch/transfer overhead.
 """
 
 from __future__ import annotations
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -34,24 +42,36 @@ def main() -> None:
     compute = "bfloat16" if platform != "cpu" else "float32"
     model = make_miso1(ModelConfig(compute_dtype=compute))
 
-    key = jax.random.key(0)
-    kr, ki, kp = jax.random.split(key, 3)
+    kr, ki, kp = jax.random.split(jax.random.key(0), 3)
     mix = jax.lax.complex(
         jax.random.normal(kr, (b, c, t, f)), jax.random.normal(ki, (b, c, t, f))
     )
     params = model.init(kp, mix[:1])
 
-    fwd = jax.jit(model.apply)
-    fwd(params, mix)[0].block_until_ready()  # compile + warmup
+    @partial(jax.jit, static_argnums=2)
+    def loop(params, mix, n):
+        def body(carry, _):
+            out = model.apply(params, mix + carry.astype(mix.dtype))
+            return jnp.abs(out).mean() * 1e-12, ()
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return carry
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, mix)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    n_small, n_large = 2, 12
+    float(loop(params, mix, n_small))  # compile + warmup
+    float(loop(params, mix, n_large))
 
-    audio_s_per_s = b * chunk_seconds * iters / dt
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(params, mix, n_small))
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(params, mix, n_large))
+        t_large = time.perf_counter() - t0
+        dts.append((t_large - t_small) / (n_large - n_small))
+    dt = min(dts)  # per-forward seconds, overhead cancelled
+
+    audio_s_per_s = b * chunk_seconds / dt
     baseline = json.loads(
         (Path(__file__).parent / "BENCH_BASELINE.json").read_text()
     )["audio_seconds_per_s"]
