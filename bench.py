@@ -27,6 +27,9 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/misonet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from misonet_tpu.config import ModelConfig, StftConfig
 from misonet_tpu.models import make_miso1
 

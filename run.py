@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""CLI entry point — the reference's run.py re-imagined.
+
+Modes (reference run.py:278-292):
+  Extraction   wav corpus -> chunked shards        (-m Extraction)
+  Train        MISO1 / MISO2 / MISO3 training      (-m Train -t <stage>)
+  Test         MISO1 / Beamforming / MISO2 / MISO3 (-m Test -t <stage>)
+
+Usage:
+  python run.py -c configs/smswsj.yml -m Train -t MISO1 -n logs/run1
+  python run.py -c configs/smswsj.yml -m Test -t MISO3 -n logs/eval
+
+The config YAML uses the reference's NN_BSS.yml layout (config.load_yaml).
+Unlike the reference (which hard-codes NN_BSS.yml regardless of the flag,
+run.py:290), the -c path is honored.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="misonet_tpu")
+    ap.add_argument("-c", "--config", required=True, help="YAML config path")
+    ap.add_argument(
+        "-m", "--mode", required=True, choices=["Extraction", "Train", "Test"]
+    )
+    ap.add_argument(
+        "-t",
+        "--target",
+        default="MISO1",
+        choices=["MISO1", "Beamforming", "MISO2", "MISO3"],
+    )
+    ap.add_argument("-n", "--logdir", default="logs/run")
+    ap.add_argument("--max-utts", type=int, default=None)
+    args = ap.parse_args()
+
+    from misonet_tpu.config import load_yaml
+
+    cfg = load_yaml(args.config)
+
+    if args.mode == "Extraction":
+        _extract(cfg)
+    elif args.mode == "Train":
+        _train(cfg, args)
+    else:
+        _test(cfg, args)
+
+
+def _extract(cfg) -> None:
+    import os
+
+    from misonet_tpu.data.extraction import discover_smswsj, extract_corpus
+
+    ds = cfg.dataset
+    specs = discover_smswsj(
+        Path(ds.root_dir) / "observation",
+        Path(ds.root_dir) / "speech_source",
+        ds.num_spks,
+    )
+    n = extract_corpus(
+        specs,
+        ds.pickle_dir,
+        ds.chunk_samples,
+        ds.least_samples,
+        workers=os.cpu_count() or 1,
+    )
+    print(f"extracted {n} chunks from {len(specs)} utterances -> {ds.pickle_dir}")
+
+
+def _make_loaders(cfg, trainer_cfg):
+    from misonet_tpu.data import Batcher, ShardDataset
+
+    ds = cfg.dataset
+    train = Batcher(
+        ShardDataset(ds.pickle_dir, ds.num_spks),
+        trainer_cfg.batch_size,
+        shuffle=True,
+    )
+    val_dir = ds.dev_pickle_dir or ds.pickle_dir
+    val = Batcher(
+        ShardDataset(val_dir, ds.num_spks), trainer_cfg.batch_size, shuffle=False
+    )
+    return train, val
+
+
+def _load_miso1(cfg, model):
+    """Cross-stage hand-off: restore frozen MISO1 params (run.py:101-109)."""
+    import jax.numpy as jnp
+
+    from misonet_tpu.ops.stft import stft_scaled
+    from misonet_tpu.train.state import create_train_state, make_optimizer
+    from misonet_tpu.utils.checkpoint import load_checkpoint
+
+    probe = jax.lax.complex(
+        jnp.zeros((1, cfg.dataset.num_ch_utilize, 8, cfg.stft.num_bins)),
+        jnp.zeros((1, cfg.dataset.num_ch_utilize, 8, cfg.stft.num_bins)),
+    )
+    params = model.init(jax.random.key(0), probe)
+    state = create_train_state(params, make_optimizer(cfg.optimizer))
+    ckpt = Path(cfg.trainer_en.miso1_checkpoint)
+    state, _ = load_checkpoint(ckpt.parent, ckpt.name, state)
+    return state.params
+
+
+def _train(cfg, args) -> None:
+    from misonet_tpu.models import make_miso1, make_miso2, make_miso3
+    from misonet_tpu.parallel import make_mesh
+    from misonet_tpu.train.trainer import EnhanceTrainer, SeparationTrainer
+    from misonet_tpu.utils.writer import MetricWriter
+
+    mesh = make_mesh(cfg.mesh.num_devices) if len(jax.devices()) > 1 else None
+    writer = MetricWriter(args.logdir, cfg.stft)
+
+    if args.target == "MISO1":
+        tr_cfg = cfg.trainer_sp
+        train, val = _make_loaders(cfg, tr_cfg)
+        trainer = SeparationTrainer(
+            make_miso1(cfg.miso1),
+            tr_cfg,
+            cfg.optimizer,
+            cfg.stft,
+            cfg.dataset,
+            train,
+            val,
+            mesh=mesh,
+            writer=writer,
+        )
+    else:
+        tr_cfg = cfg.trainer_en
+        train, val = _make_loaders(cfg, tr_cfg)
+        miso1 = make_miso1(cfg.miso1)
+        miso1_params = _load_miso1(cfg, miso1)
+        joint = args.target == "MISO2"
+        model = (
+            make_miso2(cfg.miso2) if joint else make_miso3(cfg.miso3)
+        )
+        trainer = EnhanceTrainer(
+            model,
+            miso1,
+            miso1_params,
+            tr_cfg,
+            cfg.optimizer,
+            cfg.stft,
+            cfg.dataset,
+            train,
+            val,
+            joint=joint,
+            mesh=mesh,
+            writer=writer,
+        )
+    trainer.train()
+
+
+def _test(cfg, args) -> None:
+    from misonet_tpu.data.extraction import discover_smswsj
+    from misonet_tpu.inference.evaluate import CascadeEvaluator
+    from misonet_tpu.models import make_miso1, make_miso2, make_miso3
+
+    ds = cfg.dataset
+    miso1 = make_miso1(cfg.miso1)
+    miso1_params = _load_miso1(cfg, miso1)
+
+    enhance_model = enhance_params = None
+    joint = False
+    if args.target in ("MISO2", "MISO3"):
+        joint = args.target == "MISO2"
+        enhance_model = make_miso2(cfg.miso2) if joint else make_miso3(cfg.miso3)
+        # enhance params loaded from its own save_folder 'best'
+        import jax.numpy as jnp
+
+        from misonet_tpu.train.state import create_train_state, make_optimizer
+        from misonet_tpu.utils.checkpoint import load_checkpoint
+
+        cin = ds.num_ch_utilize + (2 * ds.num_spks if joint else 2)
+        probe = jax.lax.complex(
+            jnp.zeros((1, cin, 8, cfg.stft.num_bins)),
+            jnp.zeros((1, cin, 8, cfg.stft.num_bins)),
+        )
+        params = enhance_model.init(jax.random.key(0), probe)
+        state = create_train_state(params, make_optimizer(cfg.optimizer))
+        state, _ = load_checkpoint(cfg.trainer_en.save_folder, "best", state)
+        enhance_params = state.params
+
+    ev = CascadeEvaluator(
+        miso1,
+        miso1_params,
+        cfg.stft,
+        ds,
+        enhance_model=enhance_model,
+        enhance_params=enhance_params,
+        joint=joint,
+        beamform_utterance=args.target != "MISO1",
+    )
+    specs = discover_smswsj(
+        Path(ds.root_dir) / "observation",
+        Path(ds.root_dir) / "speech_source",
+        ds.num_spks,
+    )
+    scores = ev.evaluate_corpus(
+        specs, Path(args.logdir) / "wav_out", max_utts=args.max_utts
+    )
+    print("mean SI-SDR per stage:", scores)
+
+
+if __name__ == "__main__":
+    main()
