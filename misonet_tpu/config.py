@@ -101,6 +101,11 @@ class OptimizerConfig:
     weight_decay: float = 0.0
     clipping: bool = False
     max_norm: float = 5.0
+    # Skip updates with non-finite grads (optax.apply_if_finite) — the
+    # production replacement for the reference's pdb-based NaN guards
+    # (model.py:109-110, SURVEY.md §5 failure detection).
+    guard_nans: bool = True
+    max_consecutive_nan_steps: int = 5
     scheduler: str = "plateau"
     plateau_factor: float = 0.5
     plateau_patience: int = 3

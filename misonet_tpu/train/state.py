@@ -46,7 +46,15 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unsupported optimizer: {cfg.name}")
     chain.append(opt)
-    return optax.chain(*chain)
+    transform = optax.chain(*chain)
+    if cfg.guard_nans:
+        # Reject non-finite updates instead of dropping into a debugger
+        # (the reference's NaN handling is `pdb.set_trace()` inside forward,
+        # model.py:109-110); raises after max_consecutive_nan_steps misses.
+        transform = optax.apply_if_finite(
+            transform, max_consecutive_errors=cfg.max_consecutive_nan_steps
+        )
+    return transform
 
 
 def create_train_state(
