@@ -114,10 +114,21 @@ def mvdr_weights(
     """w = (Phi_n + delta*I)^-1 d / (d^H (Phi_n + delta*I)^-1 d)
     (reference get_mvdr_beamformer, tester.py:777-791).
 
-    steering [B, F, M], noise_scm [B, F, M, M] -> weights [B, F, M]."""
-    m = steering.shape[-1]
-    rn = noise_scm + diag_load * jnp.eye(m, dtype=noise_scm.dtype)
-    numer = jnp.linalg.solve(rn, steering[..., None])[..., 0]
+    steering [B, F, M], noise_scm [B, F, M, M] -> weights [B, F, M].
+
+    On TPU the Hermitian solve runs through the Pallas batched-Cholesky
+    kernel (ops/pallas/mvdr_solve.py) — complex LU is UNIMPLEMENTED in the
+    TPU backend, and the kernel additionally vectorizes the B*F systems
+    across vector lanes instead of padding each 6x6 matrix to a tile.  CPU
+    keeps the stock LAPACK path."""
+    if jax.default_backend() != "cpu":
+        from misonet_tpu.ops.pallas.mvdr_solve import hermitian_solve_pallas
+
+        numer = hermitian_solve_pallas(noise_scm, steering, diag=diag_load)
+    else:
+        m = steering.shape[-1]
+        rn = noise_scm + diag_load * jnp.eye(m, dtype=noise_scm.dtype)
+        numer = jnp.linalg.solve(rn, steering[..., None])[..., 0]
     denom = jnp.einsum("...m,...m->...", jnp.conj(steering), numer)
     return numer / denom[..., None]
 
