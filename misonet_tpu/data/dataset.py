@@ -35,15 +35,20 @@ class ShardDataset:
         num_spks: int = 2,
         host_index: int = 0,
         host_count: int = 1,
+        with_features: bool = False,
     ):
         root = Path(shard_dir)
         files = sorted(
-            list(root.rglob("*.npz")) + list(root.rglob("*.pickle"))
+            [p for p in root.rglob("*.npz") if not p.name.endswith(".feat.npz")]
+            + list(root.rglob("*.pickle"))
         )
         if not files:
             raise FileNotFoundError(f"no shards under {root}")
         self.files = files[host_index::host_count]
         self.num_spks = num_spks
+        # Load precomputed MISO1/BF companions (the reference's
+        # load_MISO1_Output / load_MVDR_Output modes, data.py:133-145).
+        self.with_features = with_features
 
     def __len__(self) -> int:
         return len(self.files)
@@ -65,7 +70,13 @@ class ShardDataset:
         if mix.ndim == 1:
             mix = mix[:, None]
         refs = [r[:, 0] if r.ndim > 1 else r for r in refs]
-        return {"mix": mix, "ref": np.stack(refs, axis=0)}
+        item = {"mix": mix, "ref": np.stack(refs, axis=0)}
+        if self.with_features:
+            feat_path = path.with_suffix(".feat.npz")
+            with np.load(feat_path) as z:
+                item["miso1"] = z["miso1"]
+                item["bf"] = z["bf"]
+        return item
 
 
 class Batcher:
@@ -102,10 +113,7 @@ class Batcher:
 
     def _collate(self, idxs) -> dict[str, np.ndarray]:
         items = [self.dataset[int(i)] for i in idxs]
-        return {
-            "mix": np.stack([it["mix"] for it in items]),
-            "ref": np.stack([it["ref"] for it in items]),
-        }
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def __iter__(self):
         order = self._epoch_order()

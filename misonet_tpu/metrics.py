@@ -64,6 +64,20 @@ def si_sdr_pit(estimates: jnp.ndarray, references: jnp.ndarray) -> jnp.ndarray:
     return out[0] if squeeze else out
 
 
+def pesq(estimate: np.ndarray, reference: np.ndarray, fs: int = 8000):
+    """PESQ (ITU-T P.862) hook.
+
+    Requires the ``pesq`` package (native libpesq), which is not baked into
+    this image; returns None when unavailable so evaluation loops can report
+    it opportunistically alongside SI-SDR."""
+    try:
+        from pesq import pesq as _pesq  # type: ignore
+    except ImportError:
+        return None
+    mode = "nb" if fs <= 8000 else "wb"
+    return float(_pesq(fs, np.asarray(reference), np.asarray(estimate), mode))
+
+
 def numpy_si_sdr(estimate: np.ndarray, reference: np.ndarray) -> float:
     """Host-side oracle for tests (independent numpy implementation)."""
     ref = reference - reference.mean()

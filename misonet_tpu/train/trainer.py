@@ -233,6 +233,7 @@ class EnhanceTrainer:
                 enhance_model, self.optimizer, mesh=mesh
             )
         self.feature_step = self._make_feature_step(miso1_model, miso1_params)
+        self.precomputed_step = self._make_precomputed_step()
         self.state = None
         self.history: dict[str, list[float]] = {"train": [], "val": []}
 
@@ -262,6 +263,23 @@ class EnhanceTrainer:
                 in_axes=1,
                 out_axes=1,
             )(full)                                 # [B, S, T, F]
+            return mix, ref_aligned, miso1_ref, bf
+
+        return features
+
+    def _make_precomputed_step(self):
+        """Feature path for shards carrying precomputed MISO1/BF outputs
+        (data/precompute.py; the reference's load_MISO1_Output /
+        load_MVDR_Output modes, data.py:133-145, :190-199)."""
+        stft_cfg = self.stft_cfg
+
+        @jax.jit
+        def features(mix_wave, ref_wave, miso1_ref, bf):
+            mix = stft_scaled(mix_wave.transpose(0, 2, 1), stft_cfg)
+            ref = stft_scaled(ref_wave, stft_cfg)
+            dist = magnitude_distance(miso1_ref, ref)
+            idx = align_slots(dist)
+            ref_aligned = jnp.take_along_axis(ref, idx[..., None, None], axis=1)
             return mix, ref_aligned, miso1_ref, bf
 
         return features
@@ -308,7 +326,13 @@ class EnhanceTrainer:
         for i, batch in enumerate(data):
             mix_w = jnp.asarray(batch["mix"])
             ref_w = jnp.asarray(batch["ref"])
-            feats = self.feature_step(mix_w, ref_w)
+            if "miso1" in batch:
+                feats = self.precomputed_step(
+                    mix_w, ref_w,
+                    jnp.asarray(batch["miso1"]), jnp.asarray(batch["bf"]),
+                )
+            else:
+                feats = self.feature_step(mix_w, ref_w)
             x, y = self._build_inputs(*feats)
             if self.state is None:
                 params = self.model.init(jax.random.key(0), x)
