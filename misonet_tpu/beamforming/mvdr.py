@@ -31,6 +31,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from misonet_tpu.ops.complex_utils import ceinsum
+
 
 def spatial_covariance(x: jnp.ndarray) -> jnp.ndarray:
     """Time-averaged spatial covariance per frequency.
@@ -40,7 +42,7 @@ def spatial_covariance(x: jnp.ndarray) -> jnp.ndarray:
     (reference get_spatial_covariance_matrix, tester.py:704-718,
     normalize=True)."""
     t = x.shape[2]
-    r = jnp.einsum("bctf,bdtf->bfcd", x, jnp.conj(x)) / t
+    r = ceinsum("bctf,bdtf->bfcd", x, jnp.conj(x)) / t
     return hermitize(r)
 
 
@@ -67,7 +69,7 @@ def principal_eigenvector(r: jnp.ndarray, iterations: int = 30) -> jnp.ndarray:
     v = jnp.where(norm > 0, v / jnp.maximum(norm, 1e-30), jnp.ones_like(v) / m**0.5)
 
     def body(_, v):
-        w = jnp.einsum("...ij,...j->...i", r, v)
+        w = ceinsum("...ij,...j->...i", r, v)
         n = jnp.linalg.norm(w, axis=-1, keepdims=True)
         return jnp.where(n > 1e-30, w / jnp.maximum(n, 1e-30), v)
 
@@ -129,7 +131,7 @@ def mvdr_weights(
         m = steering.shape[-1]
         rn = noise_scm + diag_load * jnp.eye(m, dtype=noise_scm.dtype)
         numer = jnp.linalg.solve(rn, steering[..., None])[..., 0]
-    denom = jnp.einsum("...m,...m->...", jnp.conj(steering), numer)
+    denom = ceinsum("...m,...m->...", jnp.conj(steering), numer)
     return numer / denom[..., None]
 
 
@@ -160,4 +162,4 @@ def mvdr_beamform(
 
     w = mvdr_weights(d, noise_scm, diag_load)
     # y[b,t,f] = sum_c conj(w[b,f,c]) x[b,c,t,f]  (tester.py:793-794)
-    return jnp.einsum("bfc,bctf->btf", jnp.conj(w), mixture)
+    return ceinsum("bfc,bctf->btf", jnp.conj(w), mixture)

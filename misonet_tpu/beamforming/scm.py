@@ -15,12 +15,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from misonet_tpu.ops.complex_utils import ceinsum
+
 
 def scm_partial(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Unnormalized SCM partial sum for one block.
 
     x: complex [..., C, T, F] -> (sum [..., F, C, C], frames T as weight)."""
-    s = jnp.einsum("...ctf,...dtf->...fcd", x, jnp.conj(x))
+    s = ceinsum("...ctf,...dtf->...fcd", x, jnp.conj(x))
     t = jnp.asarray(x.shape[-2], jnp.float32)
     return s, t
 
@@ -46,7 +48,7 @@ def chunked_scm(blocks: jnp.ndarray, axis_name: str | None = None) -> jnp.ndarra
     equal to the SCM of the concatenation.  When ``axis_name`` is given the
     partial sums are additionally psum-reduced over that mesh axis, so
     blocks may be sharded across devices (ICI collective accumulation)."""
-    s = jnp.einsum("nctf,ndtf->fcd", blocks, jnp.conj(blocks))
+    s = ceinsum("nctf,ndtf->fcd", blocks, jnp.conj(blocks))
     t = jnp.asarray(blocks.shape[0] * blocks.shape[2], jnp.float32)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)

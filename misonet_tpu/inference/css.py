@@ -26,6 +26,7 @@ from misonet_tpu.beamforming.mvdr import (
 )
 from misonet_tpu.config import DatasetConfig, StftConfig
 from misonet_tpu.inference.separate import align_slots, make_full_array_decode
+from misonet_tpu.ops.complex_utils import ceinsum
 from misonet_tpu.ops.stft import istft_scaled, stft_scaled
 
 
@@ -94,9 +95,9 @@ class StreamingCSS:
             mag = jnp.sqrt(m_ref.real**2 + m_ref.imag**2)
 
             t = full.shape[-2]
-            src = jnp.einsum("sctf,sdtf->sfcd", full, jnp.conj(full))
+            src = ceinsum("sctf,sdtf->sfcd", full, jnp.conj(full))
             noise_sig = mix[0][None] - full                   # [S, C, T, F]
-            noi = jnp.einsum("sctf,sdtf->sfcd", noise_sig, jnp.conj(noise_sig))
+            noi = ceinsum("sctf,sdtf->sfcd", noise_sig, jnp.conj(noise_sig))
 
             source_scm = forget * state.source_scm + src
             noise_scm = forget * state.noise_scm + noi
@@ -109,7 +110,7 @@ class StreamingCSS:
             d_vec = normalize_steering(d_vec, ref_ch)
             d_vec = phase_correct(d_vec)
             w = mvdr_weights(d_vec, r_n)                      # [S, F, C]
-            bf = jnp.einsum("sfc,ctf->stf", jnp.conj(w), mix[0])
+            bf = ceinsum("sfc,ctf->stf", jnp.conj(w), mix[0])
 
             new_state = CSSState(source_scm, noise_scm, frames, mag)
             return new_state, bf, m_ref
