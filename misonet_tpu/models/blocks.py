@@ -131,6 +131,10 @@ class ConvTranspose2dTorch(nn.Module):
             (kh - 1 - self.padding[0], kh - 1 - self.padding[0]),
             (kw - 1 - self.padding[1], kw - 1 - self.padding[1]),
         ]
+        # No explicit preferred_element_type: with bf16 operands the MXU
+        # still accumulates fp32 internally, and an explicit f32 output
+        # breaks the conv's transpose rule under AD (f32 cotangent vs bf16
+        # kernel dtype mismatch).
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             jnp.flip(kernel, (0, 1)).astype(self.dtype),
@@ -138,9 +142,8 @@ class ConvTranspose2dTorch(nn.Module):
             padding=pads,
             lhs_dilation=self.strides,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return (out + bias).astype(self.dtype)
+        return out + bias.astype(self.dtype)
 
 
 class ConvBlock(nn.Module):

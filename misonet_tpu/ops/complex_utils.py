@@ -14,6 +14,31 @@ import jax
 import jax.numpy as jnp
 
 
+def to_host(x) -> "np.ndarray":
+    """Complex-safe device->host fetch.
+
+    The axon TPU runtime cannot transfer complex64 buffers (UNIMPLEMENTED),
+    so complex arrays are fetched as two real transfers and recombined."""
+    import numpy as np
+
+    if jnp.iscomplexobj(x):
+        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+    return np.asarray(x)
+
+
+def to_device(x) -> jnp.ndarray:
+    """Complex-safe host->device put (two real transfers + lax.complex)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        return jax.lax.complex(
+            jnp.asarray(np.ascontiguousarray(x.real)),
+            jnp.asarray(np.ascontiguousarray(x.imag)),
+        )
+    return jnp.asarray(x)
+
+
 def ceinsum(subscripts: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """jnp.einsum for two complex operands via real decomposition.
 

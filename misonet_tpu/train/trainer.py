@@ -37,6 +37,7 @@ from misonet_tpu.inference.separate import make_full_array_decode, align_slots
 from misonet_tpu.beamforming.mvdr import mvdr_beamform
 from misonet_tpu.losses import magnitude_distance
 from misonet_tpu.models import enhance_input
+from misonet_tpu.ops.complex_utils import to_device
 from misonet_tpu.ops.stft import stft_scaled
 from misonet_tpu.train.state import (
     PlateauScheduler,
@@ -178,7 +179,7 @@ class SeparationTrainer:
                 if self.writer and i == 0:
                     # first-val-batch spectrogram/audio logging
                     # (trainer.py:180-201 equivalent)
-                    spec = np.asarray(est[0, 0])
+                    spec = to_host(est[0, 0])
                     self.writer.spectrogram("val/est_s0", spec, epoch)
                     self.writer.audio("val/est_s0", spec, epoch, mix.shape[1])
             total += loss
@@ -329,7 +330,7 @@ class EnhanceTrainer:
             if "miso1" in batch:
                 feats = self.precomputed_step(
                     mix_w, ref_w,
-                    jnp.asarray(batch["miso1"]), jnp.asarray(batch["bf"]),
+                    to_device(batch["miso1"]), to_device(batch["bf"]),
                 )
             else:
                 feats = self.feature_step(mix_w, ref_w)
