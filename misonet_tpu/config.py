@@ -152,11 +152,17 @@ class Config:
 
 
 def _model_from_yaml(d: dict[str, Any]) -> ModelConfig:
+    en = tuple(d.get("en_bottleneck_channels", ModelConfig.en_channels))
     return ModelConfig(
         num_bottleneck=d.get("num_bottleneck", 7),
-        en_channels=tuple(d.get("en_bottleneck_channels", ModelConfig.en_channels)),
+        en_channels=en,
         de_channels=tuple(d.get("de_bottleneck_channels", ModelConfig.de_channels)),
         norm_type=d.get("norm_type", "IN"),
+        # TCN width must match the bottleneck (the reference hard-codes 128
+        # == its en[-1], model.py:31); derive it so custom plans stay valid.
+        tcn_channels=int(d.get("tcn_channels", en[-1])),
+        tcn_repeats=int(d.get("tcn_repeats", 2)),
+        tcn_blocks=int(d.get("tcn_blocks", 7)),
     )
 
 

@@ -30,6 +30,19 @@ def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, num_devices: int = 0, axis: str = "data") -> Mesh:
+    """Data mesh whose size divides ``batch_size``: uses the largest
+    divisor of the batch not exceeding the device count, so any batch size
+    shards cleanly (jit requires the batch axis divisible by the mesh)."""
+    avail = num_devices or len(jax.devices())
+    size = 1
+    for d in range(min(avail, batch_size), 0, -1):
+        if batch_size % d == 0:
+            size = d
+            break
+    return make_mesh(size, axis)
+
+
 def data_spec(mesh: Mesh, ndim: int) -> NamedSharding:
     """Sharding for a batch-leading array: shard axis 0 over the data axis,
     replicate the rest."""

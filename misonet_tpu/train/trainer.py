@@ -37,7 +37,7 @@ from misonet_tpu.inference.separate import make_full_array_decode, align_slots
 from misonet_tpu.beamforming.mvdr import mvdr_beamform
 from misonet_tpu.losses import magnitude_distance
 from misonet_tpu.models import enhance_input
-from misonet_tpu.ops.complex_utils import to_device
+from misonet_tpu.ops.complex_utils import to_device, to_host
 from misonet_tpu.ops.stft import stft_scaled
 from misonet_tpu.train.state import (
     PlateauScheduler,

@@ -61,9 +61,14 @@ class MetricWriter:
             return
         wav = np.asarray(istft_scaled(np.asarray(spec), self.stft_cfg, num_samples))
         peak = np.abs(wav).max() or 1.0
-        self._tb.add_audio(
-            tag, (wav / peak)[None, :], step, sample_rate=self.stft_cfg.fs
-        )
+        try:
+            self._tb.add_audio(
+                tag, (wav / peak)[None, :], step, sample_rate=self.stft_cfg.fs
+            )
+        except ModuleNotFoundError:
+            # tensorboardX audio encoding needs soundfile, which this image
+            # lacks; skip audio logging rather than fail the epoch.
+            pass
 
     # -- timing (trainer.py:216-221 equivalent) ---------------------------
     def step_start(self) -> None:

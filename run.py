@@ -109,11 +109,16 @@ def _load_miso1(cfg, model):
 
 def _train(cfg, args) -> None:
     from misonet_tpu.models import make_miso1, make_miso2, make_miso3
-    from misonet_tpu.parallel import make_mesh
+    from misonet_tpu.parallel.mesh import make_mesh_for_batch
     from misonet_tpu.train.trainer import EnhanceTrainer, SeparationTrainer
     from misonet_tpu.utils.writer import MetricWriter
 
-    mesh = make_mesh(cfg.mesh.num_devices) if len(jax.devices()) > 1 else None
+    batch = cfg.trainer_sp.batch_size if args.target == "MISO1" else cfg.trainer_en.batch_size
+    mesh = (
+        make_mesh_for_batch(batch, cfg.mesh.num_devices)
+        if len(jax.devices()) > 1
+        else None
+    )
     writer = MetricWriter(args.logdir, cfg.stft)
 
     if args.target == "MISO1":

@@ -11,6 +11,3 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# Persistent compile cache: the big-model tests are compile-bound on CPU.
-jax.config.update("jax_compilation_cache_dir", "/tmp/misonet_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
