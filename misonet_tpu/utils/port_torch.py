@@ -62,12 +62,8 @@ def port_miso_state_dict(
             dense = {}
             for n in range(1, 6):
                 base = f"encoders.{i}.1.conv{n}.0"
-                dense[f"conv{n}"] = {
-                    "Conv_0": {
-                        "kernel": _conv2d(sd[f"{base}.weight"]),
-                        "bias": sd[f"{base}.bias"],
-                    }
-                }
+                dense[f"conv{n}_kernel"] = _conv2d(sd[f"{base}.weight"])
+                dense[f"conv{n}_bias"] = sd[f"{base}.bias"]
             params[f"enc{i}_dense"] = dense
 
     # --- TCN ----------------------------------------------------------
@@ -103,12 +99,8 @@ def port_miso_state_dict(
             dense = {}
             for n in range(1, 6):
                 base = f"decoders.{i}.0.conv{n}.0"
-                dense[f"conv{n}"] = {
-                    "Conv_0": {
-                        "kernel": _conv2d(sd[f"{base}.weight"]),
-                        "bias": sd[f"{base}.bias"],
-                    }
-                }
+                dense[f"conv{n}_kernel"] = _conv2d(sd[f"{base}.weight"])
+                dense[f"conv{n}_bias"] = sd[f"{base}.bias"]
             params[f"dec{i}_dense"] = dense
             deconv_key = (
                 f"decoders.{i}.1.deconv2d"
