@@ -135,6 +135,37 @@ def mvdr_weights(
     return numer / denom[..., None]
 
 
+def condition_covariance(r: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """Covariance conditioning: (R + gamma*tr(R)/M * I) / (1 + gamma) —
+    the reference's (unused-by-default) alternative to plain diagonal
+    loading (tester.py:735-742)."""
+    m = r.shape[-1]
+    tr = jnp.trace(r, axis1=-2, axis2=-1).real[..., None, None]
+    scaled_eye = (gamma * tr / m) * jnp.eye(m, dtype=r.dtype)
+    return (r + scaled_eye) / (1.0 + gamma)
+
+
+def blind_analytic_normalization(
+    w: jnp.ndarray, noise_scm: jnp.ndarray, eps: float = 0.0
+) -> jnp.ndarray:
+    """BAN post-scaling of beamformer weights (tester.py:752-774):
+    w * sqrt(|w^H Rn Rn w|) / |w^H Rn w|.  Optional distortion reduction."""
+    rn_w = ceinsum("...ab,...b->...a", noise_scm, w)
+    rn_rn_w = ceinsum("...ab,...b->...a", noise_scm, rn_w)
+    nominator = jnp.abs(
+        jnp.sqrt(ceinsum("...a,...a->...", jnp.conj(w), rn_rn_w))
+    )
+    denominator = jnp.abs(ceinsum("...a,...a->...", jnp.conj(w), rn_w))
+    return w * (nominator / (denominator + eps))[..., None]
+
+
+def normalize_unit_power(d: jnp.ndarray) -> jnp.ndarray:
+    """Steering normalization variant dividing by d^H d (the reference's
+    unused `normalize`, tester.py:744-750)."""
+    power = jnp.sum(jnp.abs(d) ** 2, axis=-1, keepdims=True)
+    return d / power
+
+
 @functools.partial(jax.jit, static_argnames=("ref_ch", "power_iters"))
 def mvdr_beamform(
     source: jnp.ndarray,

@@ -36,6 +36,7 @@ class ShardDataset:
         host_index: int = 0,
         host_count: int = 1,
         with_features: bool = False,
+        num_ch_utilize: int = 0,
     ):
         root = Path(shard_dir)
         files = sorted(
@@ -49,6 +50,9 @@ class ShardDataset:
         # Load precomputed MISO1/BF companions (the reference's
         # load_MISO1_Output / load_MVDR_Output modes, data.py:133-145).
         self.with_features = with_features
+        # Mic subsampling [0:M:M//num_ch_utilize] (reference data.py:81,:92);
+        # 0 keeps all channels.
+        self.num_ch_utilize = num_ch_utilize
 
     def __len__(self) -> int:
         return len(self.files)
@@ -69,6 +73,9 @@ class ShardDataset:
             ]
         if mix.ndim == 1:
             mix = mix[:, None]
+        if self.num_ch_utilize and mix.shape[1] > self.num_ch_utilize:
+            m = mix.shape[1]
+            mix = mix[:, 0 : m : m // self.num_ch_utilize]
         refs = [r[:, 0] if r.ndim > 1 else r for r in refs]
         item = {"mix": mix, "ref": np.stack(refs, axis=0)}
         if self.with_features:

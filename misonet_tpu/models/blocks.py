@@ -78,16 +78,38 @@ class ChannelwiseLayerNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class SimpleBatchNorm(nn.Module):
+    """Batch normalization over (batch, spatial) per channel with affine
+    params — the reference's chose_norm BatchNorm fallback (model.py:581).
+    Uses batch statistics (no running averages), which matches how the
+    reference would behave in its train-mode-dominated pipeline."""
+
+    eps: float = EPS_IN
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (c,), jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axes, keepdims=True)
+        var = x32.var(axes, keepdims=True)
+        out = gamma * (x32 - mean) * jax.lax.rsqrt(var + self.eps) + beta
+        return out.astype(x.dtype)
+
+
 def choose_norm(norm_type: str, name: str | None = None) -> nn.Module:
-    """Norm dispatch matching the reference's chose_norm (model.py:570-581).
-    BatchNorm is intentionally unsupported (never selected by any reference
-    config); IN is the configured default (NN_BSS.yml:123)."""
+    """Norm dispatch matching the reference's chose_norm (model.py:570-581);
+    IN is the configured default (NN_BSS.yml:123)."""
     if norm_type == "gLN":
         return GlobalLayerNorm(name=name)
     if norm_type == "cLN":
         return ChannelwiseLayerNorm(name=name)
     if norm_type == "IN":
         return InstanceNorm(name=name)
+    if norm_type == "BN":
+        return SimpleBatchNorm(name=name)
     raise ValueError(f"unsupported norm_type: {norm_type}")
 
 
