@@ -134,7 +134,11 @@ class CascadeEvaluator:
             bf_stft, mix_full_stft, t_frames = self._beamform(
                 full, mix, pieces, mix_wave, n, gap
             )
-            beamformed = self._istft_multi(bf_stft, out_len)
+            # utterance mode yields [S, T, F]; chunk mode [N, S, T, F]
+            if bf_stft.ndim == 4:
+                beamformed = self._stitch(bf_stft, n, gap, out_len)
+            else:
+                beamformed = self._istft_multi(bf_stft, out_len)
 
             if self.enhance_model is not None:
                 enhanced_stft = self._enhance(
@@ -145,7 +149,10 @@ class CascadeEvaluator:
                     bf_stft,
                     n,
                 )
-                enhanced = self._istft_multi(enhanced_stft, out_len)
+                if enhanced_stft.ndim == 4:
+                    enhanced = self._stitch(enhanced_stft, n, gap, out_len)
+                else:
+                    enhanced = self._istft_multi(enhanced_stft, out_len)
 
         scores: dict[str, float] = {}
         if refs is not None:
@@ -264,9 +271,6 @@ class CascadeEvaluator:
         wav = np.asarray(wav[:n]).transpose(1, 0, 2).reshape(
             wav.shape[1], -1
         )                                                # [S, N*chunk]
-        target = (t_frames - 1) * cfg.hop - cfg.length  # inverse of num_frames
-        # simplest exact relation: pick sample count whose num_frames == t
-        samples = wav.shape[-1]
         z = self._stft(jnp.asarray(wav))
         if z.shape[-2] < t_frames:
             z = jnp.pad(z, [(0, 0), (0, t_frames - z.shape[-2]), (0, 0)])

@@ -79,6 +79,32 @@ def test_full_cascade_utterance_mode(models, corpus, tmp_path):
         assert len(wavs) == 2 * len(corpus)
 
 
+def test_miso2_joint_chunk_mode(models, corpus, tmp_path):
+    """MISO2 joint enhancement through the chunk-mode beamformer
+    (tester.py:940-947 + :453-543)."""
+    from misonet_tpu.models import make_miso2
+
+    miso1, p1, _, _ = models
+    miso2 = make_miso2(SMALL)
+    probe = jax.lax.complex(
+        jnp.zeros((1, 3 + 4, 16, 17)), jnp.zeros((1, 3 + 4, 16, 17))
+    )
+    p2 = miso2.init(jax.random.key(3), probe)
+    ev = CascadeEvaluator(
+        miso1, p1, STFT, DS,
+        enhance_model=miso2, enhance_params=p2, joint=True,
+        beamform_utterance=False,
+    )
+    from misonet_tpu.data.wavio import read_wav
+
+    mix, _ = read_wav(corpus[0].mix_path)
+    refs = np.stack([read_wav(p)[0] for p in corpus[0].source_paths])
+    res = ev.process(mix, refs)
+    assert res.enhanced is not None
+    assert res.enhanced.shape == (2, mix.shape[0])
+    assert np.isfinite(res.enhanced).all()
+
+
 def test_refless_chain_alignment(models, corpus):
     miso1, p1, _, _ = models
     ev = CascadeEvaluator(miso1, p1, STFT, DS, beamform_utterance=False)
