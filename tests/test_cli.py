@@ -82,8 +82,14 @@ scheduler:
 
 
 def _run(args, cwd):
-    """Invoke run.py in-process (subprocess would lose the CPU conftest)."""
-    import run as run_mod
+    """Invoke run.py in-process (subprocess would lose the CPU conftest).
+    Loaded by explicit path so a same-named module elsewhere on sys.path
+    (e.g. the reference repo added by the parity test) can never shadow it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("misonet_run", ROOT / "run.py")
+    run_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_mod)
 
     old = sys.argv
     sys.argv = ["run.py"] + args

@@ -15,8 +15,10 @@ import pytest
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference"
+# Append (not insert-at-0) so reference top-level modules (run, trainer,
+# utils, ...) never shadow same-named modules of this repo in later tests.
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)
 
 try:
     from model import MISO_1  # reference model.py
