@@ -22,23 +22,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(tt, f_out, c_in, n_out, x_ref, w_ref, b_ref, o_ref):
+def _conv_kernel(tt, f_out, c_in, n_out, x_ref, w_ref, b_ref, o_ref, patch_ref):
     """x [1, T+2, F+2, C] (full, VMEM-resident); w [9C, N]; b [1, N];
-    o [1, TT, F, N] for tile t = program_id(1)."""
+    o [1, TT, F, N] for tile t = program_id(1); patch_ref scratch
+    [TT*Fp, 9C] (Fp = F rounded up to the 8-sublane granule).
+
+    The 9 shifted views have different (sublane, lane) offsets, so they are
+    materialized through the scratch buffer (stores normalize layouts)
+    rather than concatenated as vectors."""
     t = pl.program_id(1)
+    f_pad = (-f_out) % 8
+    fp = f_out + f_pad
     window = x_ref[0, pl.ds(t * tt, tt + 2), :, :]       # [TT+2, F+2, C]
-    cols = []
-    for dt in range(3):
-        for df in range(3):
-            cols.append(
-                jax.lax.slice(
-                    window, (dt, df, 0), (dt + tt, df + f_out, c_in)
-                )
-            )
-    patches = jnp.concatenate(cols, axis=-1).reshape(tt * f_out, 9 * c_in)
-    out = jnp.dot(patches, w_ref[:, :], preferred_element_type=jnp.float32)
-    out = out + b_ref[0, :]
-    o_ref[0] = out.reshape(tt, f_out, n_out)
+    for j, (dt, df) in enumerate(
+        (dt, df) for dt in range(3) for df in range(3)
+    ):
+        piece = jax.lax.slice(
+            window, (dt, df, 0), (dt + tt, df + f_out, c_in)
+        )                                                # [TT, F, C]
+        if f_pad:
+            piece = jnp.pad(piece, ((0, 0), (0, f_pad), (0, 0)))
+        patch_ref[:, j * c_in : (j + 1) * c_in] = piece.reshape(
+            tt * fp, c_in
+        )
+    out = jnp.dot(
+        patch_ref[:, :], w_ref[:, :], preferred_element_type=jnp.float32
+    ).reshape(tt, fp, n_out)
+    o_ref[0] = out[:, :f_out, :] + b_ref[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_t",))
@@ -76,5 +86,8 @@ def conv3x3_same_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, t_tot, f, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_t * (f + (-f) % 8), 9 * c), x.dtype)
+        ],
     )(xp, w2, b.reshape(1, n).astype(jnp.float32))
     return out[:, :t].astype(x.dtype)
