@@ -171,7 +171,7 @@ def test_chunked_scm_psum_over_mesh():
 
     full = np.asarray(chunked_scm(jnp.asarray(blocks)))
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     f = shard_map(
         lambda b: chunked_scm(b, axis_name="blocks"),

@@ -1,0 +1,48 @@
+"""Sequence-parallel TCN vs the dense TemporalConvNet on the 8-device CPU
+mesh: halo exchange + collective norm statistics must reproduce the
+unsharded output exactly (SURVEY.md §5 long-context)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from misonet_tpu.config import ModelConfig
+from misonet_tpu.models.blocks import TemporalConvNet
+from misonet_tpu.parallel import make_mesh
+from misonet_tpu.parallel.tcn_sp import tcn_time_sharded
+
+CFG = ModelConfig(tcn_repeats=2, tcn_blocks=4, tcn_channels=16)
+B, T, C = 2, 256, 16  # T covers dilations up to 8 across 8 shards of 32
+
+
+def test_sharded_tcn_matches_dense():
+    model = TemporalConvNet(
+        repeats=CFG.tcn_repeats,
+        blocks=CFG.tcn_blocks,
+        features=CFG.tcn_channels,
+        norm_type="IN",
+    )
+    x = jax.random.normal(jax.random.key(0), (B, T, C))
+    params = model.init(jax.random.key(1), x)
+    dense = model.apply(params, x)
+
+    mesh = make_mesh(axis="seq")
+    assert mesh.size == 8
+    sharded = tcn_time_sharded(params["params"], x, CFG, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(dense), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_sharded_tcn_large_dilation_spanning_shards():
+    """Dilation 8 with 32-frame shards: halos cross shard boundaries."""
+    cfg = ModelConfig(tcn_repeats=1, tcn_blocks=4, tcn_channels=8)
+    model = TemporalConvNet(repeats=1, blocks=4, features=8, norm_type="IN")
+    x = jax.random.normal(jax.random.key(2), (1, 128, 8))
+    params = model.init(jax.random.key(3), x)
+    dense = model.apply(params, x)
+    mesh = make_mesh(axis="seq")
+    sharded = tcn_time_sharded(params["params"], x, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(dense), atol=2e-5, rtol=2e-5
+    )
