@@ -153,6 +153,17 @@ class ConvTranspose2dTorch(nn.Module):
             (kh - 1 - self.padding[0], kh - 1 - self.padding[0]),
             (kw - 1 - self.padding[1], kw - 1 - self.padding[1]),
         ]
+        # Lane-pad narrow outputs for small-frequency inputs, where XLA's
+        # lhs-dilated conv is far off peak (PERF.md: F=3 deconv 29 -> 150
+        # TFLOP/s); at larger F the unpadded path wins, and CPU never pads.
+        n = self.features
+        pad_to = (
+            128
+            if (_pad_out_channels() and n < 128 and x.shape[2] <= 32)
+            else n
+        )
+        if pad_to != n:
+            kernel = jnp.pad(kernel, [(0, 0)] * 3 + [(0, pad_to - n)])
         # No explicit preferred_element_type: with bf16 operands the MXU
         # still accumulates fp32 internally, and an explicit f32 output
         # breaks the conv's transpose rule under AD (f32 cotangent vs bf16
@@ -165,6 +176,56 @@ class ConvTranspose2dTorch(nn.Module):
             lhs_dilation=self.strides,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if pad_to != n:
+            out = out[..., :n]
+        return out + bias.astype(self.dtype)
+
+
+def _pad_out_channels() -> bool:
+    """Zero-pad narrow conv output channels to the 128-lane width at trace
+    time (sliced off afterwards — numerically identical).  XLA's TPU conv
+    with freq-strided/dilated windows and N<128 picks a path an order of
+    magnitude off peak (PERF.md: trunk conv 10.2 -> 77.0 TFLOP/s with this
+    trick); on CPU the extra zero FLOPs are pure waste, so gate on
+    backend."""
+    return jax.default_backend() != "cpu"
+
+
+class PaddedConv(nn.Module):
+    """nn.Conv-compatible conv (same 'kernel'/'bias' param names/shapes)
+    whose compute optionally runs at 128 output channels."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: tuple[tuple[int, int], tuple[int, int]] = ((1, 1), (0, 0))
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        n = self.features
+        pad_to = 128 if (_pad_out_channels() and n < 128) else n
+        if pad_to != n:
+            kernel = jnp.pad(kernel, [(0, 0)] * 3 + [(0, pad_to - n)])
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if pad_to != n:
+            out = out[..., :n]
         return out + bias.astype(self.dtype)
 
 
@@ -182,14 +243,28 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=self.padding,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        # Only strided (trunk) convs benefit from lane padding; stride-1
+        # SAME convs are faster unpadded (PERF.md measurements).
+        if self.strides[1] > 1:
+            conv = PaddedConv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=self.padding,
+                dtype=self.dtype,
+                name="Conv_0",
+            )
+        else:
+            conv = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=self.padding,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="Conv_0",
+            )
+        x = conv(x)
         if self.act_norm:
             x = nn.elu(x)
             x = InstanceNorm()(x)
