@@ -204,7 +204,9 @@ class CascadeEvaluator:
         if not self.beamform_utterance:
             # chunk mode (tester.py:453-543): MVDR per split
             bf = jax.vmap(
-                lambda s_: mvdr_beamform(s_, mix, ref_ch=0), in_axes=1, out_axes=1
+                lambda s_: mvdr_beamform(s_, mix, ref_ch=ds.ref_ch),
+                in_axes=1,
+                out_axes=1,
             )(full)                                      # [N, S, T, F]
             return bf, mix, None
 
@@ -227,7 +229,7 @@ class CascadeEvaluator:
         mix_stft = self._stft(jnp.asarray(mix_full))     # [C, T, F]
         bf = jax.vmap(
             lambda s_: mvdr_beamform(
-                s_[None], mix_stft[None], ref_ch=0
+                s_[None], mix_stft[None], ref_ch=ds.ref_ch
             )[0]
         )(src_stft)                                      # [S, T, F]
         return bf, mix_stft, src_stft.shape[-2]
