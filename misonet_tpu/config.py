@@ -90,6 +90,10 @@ class ModelConfig:
     tcn_blocks: int = 7         # X, dilations 2^0..2^6
     tcn_channels: int = 128
     compute_dtype: str = "bfloat16"   # conv compute precision; stats stay fp32
+    # Compute DenseBlocks (and their InstanceNorms) with the fused Pallas
+    # flat-layout kernel (ops/pallas/dense_flat.py).  TPU-only fast path;
+    # numerics match the plain path to bf16 rounding.
+    flat_dense: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

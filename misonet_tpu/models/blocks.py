@@ -239,6 +239,7 @@ class ConvBlock(nn.Module):
     padding: tuple[tuple[int, int], tuple[int, int]] = ((1, 1), (0, 0))
     kernel_size: tuple[int, int] = (3, 3)
     act_norm: bool = True
+    norm: bool = True   # False: conv+ELU only (flat-dense path fuses the IN)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -267,7 +268,8 @@ class ConvBlock(nn.Module):
         x = conv(x)
         if self.act_norm:
             x = nn.elu(x)
-            x = InstanceNorm()(x)
+            if self.norm:
+                x = InstanceNorm()(x)
         return x
 
 

@@ -38,6 +38,11 @@ from misonet_tpu.models.blocks import (
     DenseBlock,
     TemporalConvNet,
 )
+from misonet_tpu.models.flat_dense import (
+    DenseBlockFlat,
+    from_flat_bundle,
+    to_flat_bundle,
+)
 
 
 def _dtype_of(cfg: ModelConfig) -> jnp.dtype:
@@ -68,6 +73,8 @@ class MISONet(nn.Module):
         x = x.transpose(0, 2, 3, 1).astype(dtype)  # [B, T, F, 2*C_in]
 
         # --- encoder ---------------------------------------------------
+        flat = self.cfg.flat_dense
+        precise = self.cfg.compute_dtype == "float32"
         skips = []
         for i in range(nb):
             freq_stride = 1 if i in (0, nb - 1) else 2
@@ -75,11 +82,29 @@ class MISONet(nn.Module):
                 en[i],
                 strides=(1, freq_stride),
                 act_norm=(i != 0),
+                # flat path: the dense layer normalizes on load, so the
+                # trunk conv skips its IN and hands over raw + stats
+                norm=not (flat and 1 <= i < 5),
                 dtype=dtype,
                 name=f"enc{i}",
             )(x)
             if i < 5:
-                x = DenseBlock(en[i], en[i], dtype=dtype, name=f"enc{i}_dense")(x)
+                if flat:
+                    tc, fc = x.shape[1], x.shape[2]
+                    # enc0's trunk has no ELU/IN (reference init_Conv2d_,
+                    # model.py:401-406): consume as-is -> identity stats
+                    bundle = to_flat_bundle(
+                        x, normalized=(i == 0),
+                        dtype=jnp.float32 if precise else jnp.bfloat16,
+                    )
+                    yb = DenseBlockFlat(
+                        en[i], en[i], name=f"enc{i}_dense"
+                    )(bundle, t=tc, f=fc, precise=precise)
+                    x = from_flat_bundle(yb, tc, fc, dtype)
+                else:
+                    x = DenseBlock(
+                        en[i], en[i], dtype=dtype, name=f"enc{i}_dense"
+                    )(x)
             skips.append(x)
 
         # --- TCN bottleneck ([B, T, 1, C] -> [B, T, C]) -----------------
@@ -103,7 +128,20 @@ class MISONet(nn.Module):
             x = jnp.concatenate([x, skips[nb - 1 - i]], axis=-1)
             if i >= 2:
                 cin = x.shape[-1]
-                x = DenseBlock(cin // 2, cin, dtype=dtype, name=f"dec{i}_dense")(x)
+                if flat:
+                    tc, fc = x.shape[1], x.shape[2]
+                    bundle = to_flat_bundle(
+                        x, normalized=True,
+                        dtype=jnp.float32 if precise else jnp.bfloat16,
+                    )
+                    yb = DenseBlockFlat(
+                        cin // 2, cin, name=f"dec{i}_dense"
+                    )(bundle, t=tc, f=fc, precise=precise)
+                    x = from_flat_bundle(yb, tc, fc, dtype)
+                else:
+                    x = DenseBlock(
+                        cin // 2, cin, dtype=dtype, name=f"dec{i}_dense"
+                    )(x)
             if i == nb - 1:
                 x = ConvTranspose2dTorch(
                     de[i + 1], strides=(1, 1), dtype=dtype, name=f"dec{i}"
