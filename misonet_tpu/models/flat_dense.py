@@ -6,14 +6,15 @@ Identical mathematics and parameter structure to ``models.blocks.DenseBlock``
 parameter-free), so the two are checkpoint-interchangeable.  The difference
 is purely computational: tensors stay in the lane-flattened layout, raw
 (pre-normalization) in bf16, with per-(batch, channel) statistics carried
-alongside; conv + bias + ELU + IN are fused into one kernel per layer and
-no intermediate tensor makes an extra HBM pass.
+alongside; conv + bias + ELU + IN fuse into one kernel per layer; and the
+DenseNet stack is a *tuple* of tensors handed to the kernel individually —
+the concatenation is logical, never an HBM copy.
 
-Data contract for a flat tensor bundle: ``(x, scale, mean)`` where
-``x`` bf16 [B, C, Wx] holds *raw* values (gap columns zero) and
-``scale = 1/sigma``, ``mean`` f32 [B, C] are its InstanceNorm statistics;
-consumers see ``(x - mean) * scale``.  An already-normalized tensor is
-bundled with ``scale=1, mean=0``.
+Data contract for a flat bundle: ``(tensors, scale, mean)`` where
+``tensors`` is a tuple of raw [B, g_i, Wx] arrays (gap columns zero) and
+``scale = 1/sigma``, ``mean`` f32 [B, sum(g_i)] are their InstanceNorm
+statistics; consumers see ``(x - mean) * scale``.  An already-normalized
+tensor is bundled with ``scale=1, mean=0``.
 """
 
 from __future__ import annotations
@@ -21,12 +22,37 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from misonet_tpu.ops.pallas.conv_flat import flatten_tf, unflatten_tf
+from misonet_tpu.ops.pallas.conv_flat import (
+    _flat_geometry,
+    flatten_tf,
+    slack_for,
+    unflatten_tf,
+)
 from misonet_tpu.ops.pallas.dense_flat import (
     dense_layer_flat,
     mask_field,
     stats_to_scale_mean,
 )
+
+
+def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int) -> int:
+    """Lane-tile size for a DenseBlock geometry: small enough that the
+    heaviest layer's patch buffer fits VMEM comfortably and the grid has
+    a few data tiles to pipeline, large enough to amortize per-tile
+    fixed work (mask build, epilogue, DMA ramp)."""
+    fp = 128 if f == 127 else max(f + 1, ((f + 1 + 7) // 8) * 8)
+    m_out = t * fp
+    slack = slack_for(fp)
+    # heaviest layer: init + 4*g1 input channels, 16-rounded per tensor
+    k_rows = 9 * sum(
+        -(-w // 16) * 16 for w in [init_ch] + [g1] * 4
+    ) + 16 * 9
+    tile = 2048
+    while tile > 2 * slack and m_out < 4 * tile:
+        tile //= 2
+    while tile > 2 * slack and k_rows * tile * 2 > (9 << 20):
+        tile //= 2
+    return max(tile, 2 * slack, 512)
 
 
 def tensor_stats(x_flat: jnp.ndarray, t: int, f: int):
@@ -39,19 +65,12 @@ def tensor_stats(x_flat: jnp.ndarray, t: int, f: int):
     return jnp.float32(1.0) / jnp.sqrt(var + 1e-5), mean
 
 
-def normalize_flat(x_flat, scale, mean, mask_row):
-    """Materialize the normalized tensor (for block outputs leaving the
-    flat pipeline).  mask_row [Wx] re-zeroes the gap columns."""
-    y = (x_flat.astype(jnp.float32) - mean[:, :, None]) * scale[:, :, None]
-    return y * mask_row
-
-
 class DenseBlockFlat(nn.Module):
     """Drop-in DenseBlock over flat tensor bundles.
 
-    __call__((x, scale, mean), t=, f=) -> (y, y_scale, y_mean) where y is
-    the 5th layer's raw output bundle (reference returns the 5th layer's
-    normalized output; normalize on use)."""
+    __call__((tensors, scale, mean), t=, f=) -> (y, y_scale, y_mean):
+    the 5th layer's *raw* output with its statistics (the reference
+    returns the normalized output; normalize on use)."""
 
     g1: int
     g2: int
@@ -59,12 +78,12 @@ class DenseBlockFlat(nn.Module):
     @nn.compact
     def __call__(self, bundle, *, t: int, f: int, tile_m: int = 2048,
                  precise: bool = False):
-        x, scale, mean = bundle
-        init_ch = x.shape[1]
+        tensors, scales, means = bundle
+        tensors = tuple(tensors)
+        init_ch = sum(x.shape[1] for x in tensors)
         widths = [self.g1] * 4 + [self.g2]
         in_chs = [init_ch + i * self.g1 for i in range(5)]
 
-        stack, scales, means = x, scale, mean
         for i in range(5):
             kernel = self.param(
                 f"conv{i + 1}_kernel",
@@ -77,12 +96,12 @@ class DenseBlockFlat(nn.Module):
                 (widths[i],), jnp.float32,
             )
             y, su, sq = dense_layer_flat(
-                stack, kernel, bias, scales, means,
+                tensors, kernel, bias, scales, means,
                 t=t, f=f, tile_m=tile_m, precise=precise,
             )
             sc_i, mn_i = stats_to_scale_mean(su, sq, t * f)
             if i < 4:
-                stack = jnp.concatenate([stack, y], axis=1)
+                tensors = tensors + (y,)
                 scales = jnp.concatenate([scales, sc_i], axis=1)
                 means = jnp.concatenate([means, mn_i], axis=1)
             else:
@@ -91,9 +110,9 @@ class DenseBlockFlat(nn.Module):
 
 def to_flat_bundle(x_nhwc, *, normalized: bool, tile_m: int = 2048,
                    dtype=jnp.bfloat16):
-    """NHWC tensor -> flat bundle.  ``normalized=True`` marks a tensor
-    that is already in its final (post-IN) form — identity statistics;
-    otherwise IN statistics are computed here (one cheap reduce)."""
+    """NHWC tensor -> single-tensor flat bundle.  ``normalized=True``
+    marks a tensor already in its final (post-IN) form — identity
+    statistics; otherwise IN statistics are computed here (one reduce)."""
     b, t, f, c = x_nhwc.shape
     xf = flatten_tf(x_nhwc, tile_m).astype(dtype)
     if normalized:
@@ -101,12 +120,27 @@ def to_flat_bundle(x_nhwc, *, normalized: bool, tile_m: int = 2048,
         mean = jnp.zeros((b, c), jnp.float32)
     else:
         scale, mean = tensor_stats(xf, t, f)
-    return xf, scale, mean
+    return (xf,), scale, mean
 
 
-def from_flat_bundle(bundle, t: int, f: int, dtype, tile_m: int = 2048):
-    """Flat bundle -> normalized NHWC tensor (for trunk convs/deconvs)."""
-    x, scale, mean = bundle
+def merge_bundles(*bundles):
+    """Logical channel-concat of flat bundles (no data movement)."""
+    tensors = sum((tuple(b[0]) for b in bundles), ())
+    scale = jnp.concatenate([b[1] for b in bundles], axis=1)
+    mean = jnp.concatenate([b[2] for b in bundles], axis=1)
+    return tensors, scale, mean
+
+
+def normalize_flat(x_flat, scale, mean, mask_row):
+    """Materialize the normalized tensor (for block outputs leaving the
+    flat pipeline).  mask_row [Wx] re-zeroes the gap columns."""
+    y = (x_flat.astype(jnp.float32) - mean[:, :, None]) * scale[:, :, None]
+    return y * mask_row
+
+
+def from_flat_bundle(single, t: int, f: int, dtype, tile_m: int = 2048):
+    """(y, scale, mean) single raw tensor -> normalized NHWC tensor."""
+    x, scale, mean = single
     mask_row = jnp.asarray(mask_field(t, f, tile_m)[0])
     y = normalize_flat(x, scale, mean, mask_row)
     return unflatten_tf(y, t, f, tile_m).astype(dtype)

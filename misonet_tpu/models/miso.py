@@ -41,6 +41,8 @@ from misonet_tpu.models.blocks import (
 from misonet_tpu.models.flat_dense import (
     DenseBlockFlat,
     from_flat_bundle,
+    merge_bundles,
+    pick_tile_m,
     to_flat_bundle,
 )
 
@@ -91,16 +93,17 @@ class MISONet(nn.Module):
             if i < 5:
                 if flat:
                     tc, fc = x.shape[1], x.shape[2]
+                    tile = pick_tile_m(tc, fc, en[i], en[i], en[i])
                     # enc0's trunk has no ELU/IN (reference init_Conv2d_,
                     # model.py:401-406): consume as-is -> identity stats
                     bundle = to_flat_bundle(
-                        x, normalized=(i == 0),
+                        x, normalized=(i == 0), tile_m=tile,
                         dtype=jnp.float32 if precise else jnp.bfloat16,
                     )
                     yb = DenseBlockFlat(
                         en[i], en[i], name=f"enc{i}_dense"
-                    )(bundle, t=tc, f=fc, precise=precise)
-                    x = from_flat_bundle(yb, tc, fc, dtype)
+                    )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
+                    x = from_flat_bundle(yb, tc, fc, dtype, tile_m=tile)
                 else:
                     x = DenseBlock(
                         en[i], en[i], dtype=dtype, name=f"enc{i}_dense"
@@ -125,23 +128,31 @@ class MISONet(nn.Module):
 
         # --- decoder with skip concatenation ----------------------------
         for i in range(nb):
-            x = jnp.concatenate([x, skips[nb - 1 - i]], axis=-1)
-            if i >= 2:
+            skip = skips[nb - 1 - i]
+            if i >= 2 and flat:
+                # logical concat: both halves enter the flat pipeline as
+                # separate tensors (no NHWC concat copy)
+                cin = x.shape[-1] + skip.shape[-1]
+                tc, fc = x.shape[1], x.shape[2]
+                tile = pick_tile_m(tc, fc, cin, cin // 2, cin)
+                fdt = jnp.float32 if precise else jnp.bfloat16
+                bundle = merge_bundles(
+                    to_flat_bundle(x, normalized=True, tile_m=tile, dtype=fdt),
+                    to_flat_bundle(skip, normalized=True, tile_m=tile,
+                                   dtype=fdt),
+                )
+                yb = DenseBlockFlat(
+                    cin // 2, cin, name=f"dec{i}_dense"
+                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
+                x = from_flat_bundle(yb, tc, fc, dtype, tile_m=tile)
+            elif i >= 2:
+                x = jnp.concatenate([x, skip], axis=-1)
                 cin = x.shape[-1]
-                if flat:
-                    tc, fc = x.shape[1], x.shape[2]
-                    bundle = to_flat_bundle(
-                        x, normalized=True,
-                        dtype=jnp.float32 if precise else jnp.bfloat16,
-                    )
-                    yb = DenseBlockFlat(
-                        cin // 2, cin, name=f"dec{i}_dense"
-                    )(bundle, t=tc, f=fc, precise=precise)
-                    x = from_flat_bundle(yb, tc, fc, dtype)
-                else:
-                    x = DenseBlock(
-                        cin // 2, cin, dtype=dtype, name=f"dec{i}_dense"
-                    )(x)
+                x = DenseBlock(
+                    cin // 2, cin, dtype=dtype, name=f"dec{i}_dense"
+                )(x)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
             if i == nb - 1:
                 x = ConvTranspose2dTorch(
                     de[i + 1], strides=(1, 1), dtype=dtype, name=f"dec{i}"

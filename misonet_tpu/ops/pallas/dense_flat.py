@@ -105,36 +105,37 @@ def tap_pieces(src, fp, tile_m, slack):
                            pltpu.roll(src, w_win - s, 1)[:, :tile_m])
 
 
-def _kernel(chunks, strides, n, n_m, tile_m, fp, f, m_out, slack,
+def _kernel(widths, strides, n, n_m, tile_m, fp, f, m_out, slack,
             fuse_elu, want_stats, pdt, *refs):
-    nc = len(chunks)
-    (x_hbm, scale_ref, beta_ref, bias_ref), rest = refs[:4], refs[4:]
-    w_refs, rest = rest[:nc], rest[nc:]
+    nt = len(widths)
+    x_hbms, rest = refs[:nt], refs[nt:]
+    (scale_ref, w_ref, bias_ref), rest = rest[:3], rest[3:]
     if want_stats:
         (y_ref, sum_ref, sq_ref), scr = rest[:3], rest[3:]
     else:
         (y_ref,), scr = rest[:1], rest[1:]
-    win2, p_ref, pm_ref = scr[:3]
+    wins, scr = scr[:nt], scr[nt:]
+    p_ref = scr[0]
     if want_stats:
-        s_sum, s_sq = scr[3:5]
-        sems = scr[5]
-    else:
+        s_sum, s_sq = scr[1:3]
         sems = scr[3]
+    else:
+        sems = scr[1]
     w_win = tile_m + 2 * slack
 
     bb = pl.program_id(0)
     m = pl.program_id(1)          # 0 and n_m+1 are pad blocks
     mm = m - 1
 
-    def dma(slot, tile):
+    def dma(ti, slot, tile):
         return pltpu.make_async_copy(
-            x_hbm.at[bb, :, pl.ds(tile * tile_m + tile_m - slack, w_win)],
-            win2.at[slot],
-            sems.at[slot],
+            x_hbms[ti].at[bb, :, pl.ds(tile * tile_m + tile_m - slack, w_win)],
+            wins[ti].at[slot],
+            sems.at[ti, slot],
         )
 
-    # one-time: clear the patch pad rows (stale values x zero weights
-    # would still poison the matmul if they were NaN)
+    # one-time: clear the patch buffer so its stride pad rows (zero
+    # weights) can never contribute NaN * 0 from stale values
     @pl.when((bb == 0) & (m == 0))
     def _():
         p_ref[:, :] = jnp.zeros_like(p_ref)
@@ -148,17 +149,20 @@ def _kernel(chunks, strides, n, n_m, tile_m, fp, f, m_out, slack,
         # double-buffered window DMAs, slot = tile parity
         @pl.when(mm == 0)
         def _():
-            dma(0, 0).start()
+            for ti in range(nt):
+                dma(ti, 0, 0).start()
 
         nxt = mm + 1
 
         @pl.when((nxt < n_m) & (nxt % 2 == 0))
         def _():
-            dma(0, nxt).start()
+            for ti in range(nt):
+                dma(ti, 0, nxt).start()
 
         @pl.when((nxt < n_m) & (nxt % 2 == 1))
         def _():
-            dma(1, nxt).start()
+            for ti in range(nt):
+                dma(ti, 1, nxt).start()
 
         # validity window from iota (fp is a power of two)
         cols = (
@@ -169,34 +173,41 @@ def _kernel(chunks, strides, n, n_m, tile_m, fp, f, m_out, slack,
         mwin = fmask.astype(jnp.float32)
 
         mcenter = None
+        base = sum(9 * s for s in strides)
+        # mask rows at stride 16 (bf16 sublane stores need 16-aligned
+        # offsets); the pad rows carry zero weights and stay zero
         for j, piece in tap_pieces(mwin, fp, tile_m, slack):
-            pm_ref[j * MASK_ROWS : (j + 1) * MASK_ROWS, :] = piece
+            p_ref[base + 16 * j : base + 16 * j + MASK_ROWS, :] = (
+                piece.astype(pdt)
+            )
             if j == 4:
                 mcenter = piece
-        acc = jax.lax.dot_general(
-            beta_ref[0], pm_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
         @pl.when(mm % 2 == 0)
         def _():
-            dma(0, mm).wait()
+            for ti in range(nt):
+                dma(ti, 0, mm).wait()
 
         @pl.when(mm % 2 == 1)
         def _():
-            dma(1, mm).wait()
+            for ti in range(nt):
+                dma(ti, 1, mm).wait()
 
-        for ci, (off, size) in enumerate(chunks):
-            stride = strides[ci]
-            win = win2[mm % 2, off : off + size, :]
-            ch = win.astype(jnp.float32) * scale_ref[0, off : off + size, :]
+        off = 0
+        base = 0
+        for ti, (width, stride) in enumerate(zip(widths, strides)):
+            win = wins[ti][mm % 2]
+            ch = win[:, :].astype(jnp.float32) * scale_ref[0, off : off + width, :]
             for j, piece in tap_pieces(ch, fp, tile_m, slack):
-                p_ref[j * stride : j * stride + size, :] = piece.astype(pdt)
-            acc = acc + jax.lax.dot_general(
-                w_refs[ci][:, :], p_ref[: 9 * stride, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                p_ref[base + j * stride : base + j * stride + width, :] = (
+                    piece.astype(pdt)
+                )
+            off += width
+            base += 9 * stride
+        acc = jax.lax.dot_general(
+            w_ref[0], p_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         acc = acc + bias_ref[:, :]
         if fuse_elu:
@@ -227,11 +238,11 @@ def _kernel(chunks, strides, n, n_m, tile_m, fp, f, m_out, slack,
     static_argnames=("t", "f", "tile_m", "fuse_elu", "want_stats", "precise"),
 )
 def dense_layer_flat(
-    x: jnp.ndarray,       # bf16 [B, Ctot, Wx] raw tensors, flat layout
-    w: jnp.ndarray,       # f32 [3, 3, Ctot, N]
+    xs: tuple,            # tensors [B, g_i, Wx] (bf16), flat layout, raw
+    w: jnp.ndarray,       # f32 [3, 3, sum(g_i), N]
     bias: jnp.ndarray,    # f32 [N]
-    scale: jnp.ndarray,   # f32 [B, Ctot] per-channel 1/sigma of the inputs
-    mean: jnp.ndarray,    # f32 [B, Ctot] per-channel mean of the inputs
+    scale: jnp.ndarray,   # f32 [B, sum(g_i)] per-channel 1/sigma
+    mean: jnp.ndarray,    # f32 [B, sum(g_i)] per-channel mean
     *,
     t: int,
     f: int,
@@ -243,50 +254,64 @@ def dense_layer_flat(
     """One DenseBlock layer: y = ELU(conv3x3(IN-normalized inputs) + bias),
     plus (sum, sumsq) of y per (batch, channel) when ``want_stats``.
 
-    Inputs are *raw* tensors with their statistics supplied separately;
-    the normalization (x - mean) / sigma is folded into the conv (see
-    module docstring).  Returns y [B, N, Wx] in the same framing
-    (+ sums, sqs f32 [B, N, 1])."""
-    b, c_tot, x_width = x.shape
+    The layer input is the *logical concatenation* of ``xs`` along the
+    channel axis — never materialized: each tensor is DMA'd separately
+    (DenseNet stacks would otherwise be recopied through HBM every
+    layer).  Inputs are raw with their IN statistics supplied separately;
+    the normalization is folded into the conv (see module docstring).
+    Returns y [B, N, Wx] in the same framing (+ sums, sqs [B, N, 1])."""
+    if not isinstance(xs, (tuple, list)):
+        xs = (xs,)
+    xs = tuple(xs)
+    widths = [int(x.shape[1]) for x in xs]
+    c_tot = sum(widths)
+    b = xs[0].shape[0]
+    x_width = xs[0].shape[2]
     n = w.shape[-1]
     fp, m_out, n_m, xw = _flat_geometry(t, f, tile_m)
-    assert x_width == xw, (x.shape, xw)
+    assert x_width == xw, (xs[0].shape, xw)
+    assert all(x.shape[2] == xw and x.shape[0] == b for x in xs)
     assert n % MASK_ROWS == 0, n
+    assert max(widths) <= 128, widths
     assert fp & (fp - 1) == 0, f"Fp={fp} must be a power of two (F={f})"
     slack = slack_for(fp)
     assert slack <= tile_m and slack % 128 == 0, (slack, tile_m)
-    chunks = _chunks(c_tot)
     pdt = jnp.float32 if precise else jnp.bfloat16
     # per-tap sublane stride in the patch buffer: bf16 stores need
     # 16-aligned offsets (tile (16, 128)); pad rows carry zero weights
     q = 8 if precise else 16
-    strides = [_round_up(size, q) for _, size in chunks]
+    strides = [_round_up(width, q) for width in widths]
+    k_mask = 16 * 9
+    k_total = sum(9 * s for s in strides) + k_mask
 
-    # per-chunk stacked weights [N, 9*stride], tap-major with zero pad rows
+    # one combined per-batch weight matrix [B, N, k_total]: the conv
+    # weights (zero rows at the stride padding) followed by the
+    # mean-correction beta columns over the mask patches
     w9 = w.reshape(9, c_tot, n)  # [(dt,df), c, n]
-    w_chunks = []
-    for (off, size), stride in zip(chunks, strides):
-        blocks = [
-            jnp.pad(w9[j, off : off + size, :], ((0, stride - size), (0, 0)))
-            for j in range(9)
-        ]
-        w_chunks.append(
-            jnp.concatenate(blocks, axis=0).T.astype(pdt)
-        )
-    w_chunks = tuple(w_chunks)
-    # mean-correction: beta[b, n, 9*MASK_ROWS]; each tap's value is spread
-    # over MASK_ROWS replicated mask rows, hence the /MASK_ROWS
+    blocks = []
+    off = 0
+    for width, stride in zip(widths, strides):
+        for j in range(9):
+            blk = w9[j, off : off + width, :]
+            blocks.append(jnp.pad(blk, ((0, stride - width), (0, 0))))
+        off += width
+    w_main = jnp.concatenate(blocks, axis=0).T          # [n, sum(9*stride)]
+    w_main = jnp.broadcast_to(w_main, (b,) + w_main.shape)
+    # beta[b, n, 9]: each tap's value spread over the MASK_ROWS replicated
+    # mask rows (hence /MASK_ROWS), laid out at stride 16
     mu_sc = (mean * scale).astype(jnp.float32)           # [B, C]
     beta = -jnp.einsum("jcn,bc->bnj", w9.astype(jnp.float32), mu_sc)
-    beta = (
-        jnp.repeat(beta, MASK_ROWS, axis=2) / MASK_ROWS
-    )                                                    # [B, N, 9*8]
+    beta = jnp.repeat(beta, MASK_ROWS, axis=2) / MASK_ROWS   # [B, n, 72]
+    beta = beta.reshape(b, n, 9, MASK_ROWS)
+    beta = jnp.pad(beta, ((0, 0), (0, 0), (0, 0), (0, 16 - MASK_ROWS)))
+    beta = beta.reshape(b, n, k_mask)
+    wb = jnp.concatenate([w_main, beta], axis=2).astype(pdt)
 
     scale3 = scale[:, :, None]                            # [B, C, 1]
     bias2 = bias.reshape(n, 1).astype(jnp.float32)
 
     kern = functools.partial(
-        _kernel, chunks, strides, n, n_m, tile_m, fp, f, m_out, slack,
+        _kernel, widths, strides, n, n_m, tile_m, fp, f, m_out, slack,
         fuse_elu, want_stats, pdt
     )
     out_shape = [jax.ShapeDtypeStruct((b, n, x_width), pdt)]
@@ -300,35 +325,30 @@ def dense_layer_flat(
             pl.BlockSpec((1, n, 1), lambda bb, m: (bb, 0, 0),
                          memory_space=pltpu.VMEM)
         ] * 2
+    w_win = tile_m + 2 * slack
     scratch = [
-        pltpu.VMEM((2, c_tot, tile_m + 2 * slack), x.dtype),
-        pltpu.VMEM((9 * max(strides), tile_m), pdt),
-        pltpu.VMEM((9 * MASK_ROWS, tile_m), jnp.float32),
-    ]
+        pltpu.VMEM((2, width, w_win), x.dtype)
+        for width, x in zip(widths, xs)
+    ] + [pltpu.VMEM((k_total, tile_m), pdt)]
     if want_stats:
         scratch += [pltpu.VMEM((n, 1), jnp.float32)] * 2
-    scratch += [pltpu.SemaphoreType.DMA((2,))]
+    scratch += [pltpu.SemaphoreType.DMA((len(xs), 2))]
 
     return pl.pallas_call(
         kern,
         grid=(b, n_m + 2),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(xs) + [
             pl.BlockSpec((1, c_tot, 1), lambda bb, m: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 9 * MASK_ROWS), lambda bb, m: (bb, 0, 0),
+            pl.BlockSpec((1, n, k_total), lambda bb, m: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda bb, m: (0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec(wc.shape, lambda bb, m: (0, 0),
-                         memory_space=pltpu.VMEM)
-            for wc in w_chunks
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(x, scale3, beta, bias2, *w_chunks)
+    )(*xs, scale3, wb, bias2)
 
 
 def mask_field(t: int, f: int, tile_m: int = 2048) -> np.ndarray:

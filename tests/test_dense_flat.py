@@ -51,7 +51,7 @@ def test_dense_block_flat_matches_plain(shape, g1, g2):
 def test_flat_bundle_roundtrip():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 6, 5, 8)).astype(np.float32))
-    xf, sc, mn = to_flat_bundle(x, normalized=True, tile_m=256)
+    (xf,), sc, mn = to_flat_bundle(x, normalized=True, tile_m=256)
     back = from_flat_bundle((xf, sc, mn), 6, 5, jnp.float32, tile_m=256)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-2)
 
