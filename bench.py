@@ -42,8 +42,11 @@ def main() -> None:
     b, c = 8, 6
 
     platform = jax.devices()[0].platform
-    compute = "bfloat16" if platform != "cpu" else "float32"
-    model = make_miso1(ModelConfig(compute_dtype=compute))
+    on_tpu = platform != "cpu"
+    compute = "bfloat16" if on_tpu else "float32"
+    # flat_dense: the fused Pallas conv+ELU+InstanceNorm DenseBlock path
+    # (ops/pallas/dense_flat.py) — TPU-only fast path, parity-tested.
+    model = make_miso1(ModelConfig(compute_dtype=compute, flat_dense=on_tpu))
 
     kr, ki, kp = jax.random.split(jax.random.key(0), 3)
     mix = jax.lax.complex(

@@ -70,6 +70,20 @@ class MetricWriter:
             # lacks; skip audio logging rather than fail the epoch.
             pass
 
+    # -- MFCC (writer.py:72-101 / plotting.py:12-22 equivalent) -----------
+    def mfcc(self, tag: str, wav: np.ndarray, step: int, n_mfcc: int = 40) -> None:
+        """MFCC image of a waveform (the reference computes these with
+        librosa and plots them; dead code upstream — log_MFCC is never
+        called — but part of the observability surface)."""
+        if not self._tb:
+            return
+        coeffs = mfcc_features(
+            np.asarray(wav, np.float32), self.stft_cfg, n_mfcc=n_mfcc
+        )  # [n_mfcc, frames]
+        lo, hi = coeffs.min(), coeffs.max()
+        img = (coeffs - lo) / (hi - lo + 1e-10)
+        self._tb.add_image(tag, _jet(img[::-1]), step, dataformats="HWC")
+
     # -- timing (trainer.py:216-221 equivalent) ---------------------------
     def step_start(self) -> None:
         self._step_t0 = time.perf_counter()
@@ -86,6 +100,41 @@ class MetricWriter:
     def close(self) -> None:
         if self._tb:
             self._tb.close()
+
+
+def mfcc_features(
+    wav: np.ndarray, stft_cfg: StftConfig, n_mfcc: int = 40, n_mels: int = 64
+) -> np.ndarray:
+    """MFCCs from a waveform, NumPy-only (the reference delegates to
+    librosa.feature.mfcc, writer.py:80): power spectrogram -> mel filterbank
+    (HTK-style) -> log -> orthonormal DCT-II, keeping ``n_mfcc`` coefficients.
+    Returns [n_mfcc, frames]."""
+    n, hop = stft_cfg.length, stft_cfg.hop
+    pad = np.pad(wav, (n // 2, n // 2))
+    frames = 1 + (len(pad) - n) // hop
+    idx = np.arange(n)[None, :] + hop * np.arange(frames)[:, None]
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)  # periodic hann
+    spec = np.abs(np.fft.rfft(pad[idx] * win, axis=1)) ** 2  # [frames, F]
+
+    # mel filterbank
+    fs = stft_cfg.fs
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    pts = imel(np.linspace(mel(0.0), mel(fs / 2), n_mels + 2))
+    bins = np.fft.rfftfreq(n, 1.0 / fs)
+    lo, ce, hi = pts[:-2, None], pts[1:-1, None], pts[2:, None]
+    fb = np.maximum(
+        0.0,
+        np.minimum((bins - lo) / (ce - lo + 1e-10), (hi - bins) / (hi - ce + 1e-10)),
+    )  # [n_mels, F]
+    logmel = np.log(spec @ fb.T + 1e-10)  # [frames, n_mels]
+
+    # orthonormal DCT-II over the mel axis
+    k = np.arange(n_mfcc)[:, None]
+    m = np.arange(n_mels)[None, :]
+    dct = np.cos(np.pi * k * (2 * m + 1) / (2 * n_mels)) * np.sqrt(2.0 / n_mels)
+    dct[0] /= np.sqrt(2.0)
+    return dct @ logmel.T  # [n_mfcc, frames]
 
 
 def _jet(x: np.ndarray) -> np.ndarray:

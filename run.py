@@ -25,7 +25,20 @@ import jax
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="misonet_tpu")
-    ap.add_argument("-c", "--config", required=True, help="YAML config path")
+    ap.add_argument(
+        "-c",
+        "--config",
+        required=True,
+        help="YAML config path, or a directory resolved with -d "
+        "(reference run.py:280 takes a directory)",
+    )
+    ap.add_argument(
+        "-d",
+        "--dataset",
+        default="SMS_WSJ",
+        choices=["SMS_WSJ", "REVERB_2MIX", "RIR_mixing"],
+        help="dataset name; with a -c directory selects <dir>/<dataset>.yml",
+    )
     ap.add_argument(
         "-m", "--mode", required=True, choices=["Extraction", "Train", "Test"]
     )
@@ -35,13 +48,28 @@ def main() -> None:
         default="MISO1",
         choices=["MISO1", "Beamforming", "MISO2", "MISO3"],
     )
+    ap.add_argument(
+        "-u",
+        "--use-device",
+        default=None,
+        help="accepted for reference-CLI compatibility (run.py:284 gpu "
+        "selector); device placement is JAX-managed here",
+    )
     ap.add_argument("-n", "--logdir", default="logs/run")
     ap.add_argument("--max-utts", type=int, default=None)
     args = ap.parse_args()
 
     from misonet_tpu.config import load_yaml
 
-    cfg = load_yaml(args.config)
+    cfg_path = Path(args.config)
+    if cfg_path.is_dir():
+        names = {
+            "SMS_WSJ": "smswsj.yml",
+            "REVERB_2MIX": "reverb_2mix.yml",
+            "RIR_mixing": "reverb_2mix.yml",  # premixed RIR shares the plan
+        }
+        cfg_path = cfg_path / names[args.dataset]
+    cfg = load_yaml(cfg_path)
 
     if args.mode == "Extraction":
         _extract(cfg)

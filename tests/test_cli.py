@@ -106,6 +106,18 @@ def test_cli_extraction(corpus_and_config):
     assert len(shards) >= 3
 
 
+def test_cli_config_dir_resolution(corpus_and_config, monkeypatch):
+    """-c <dir> -d <dataset> resolves <dir>/<dataset>.yml (the reference
+    takes a config *directory*, run.py:280, but then ignores -d)."""
+    root, cfg = corpus_and_config
+    cfgdir = root / "cfgdir"
+    cfgdir.mkdir(exist_ok=True)
+    (cfgdir / "smswsj.yml").write_text(cfg.read_text())
+    _run(["-c", str(cfgdir), "-d", "SMS_WSJ", "-m", "Extraction", "-u", "1"],
+         ROOT)
+    assert list((root / "shards").glob("*.npz"))
+
+
 def test_cli_train_miso1(corpus_and_config):
     root, cfg = corpus_and_config
     _run(["-c", str(cfg), "-m", "Train", "-t", "MISO1",
