@@ -52,7 +52,9 @@ def main() -> None:
     mix = jax.lax.complex(
         jax.random.normal(kr, (b, c, t, f)), jax.random.normal(ki, (b, c, t, f))
     )
-    params = model.init(kp, mix[:1])
+    # jit the init: unjitted it dispatches per-param ops through the axon
+    # relay (~50 ms each), adding minutes before the benchmark starts
+    params = jax.jit(model.init)(kp, mix[:1])
 
     @partial(jax.jit, static_argnums=2)
     def loop(params, mix, n):

@@ -102,7 +102,9 @@ class SeparationTrainer:
     def _init_state(self, example_batch) -> None:
         mix = jnp.asarray(example_batch["mix"]).transpose(0, 2, 1)
         probe = stft_scaled(mix, self.stft_cfg)
-        params = self.model.init(jax.random.key(0), probe)
+        # jitted init: eager init dispatches per-param ops individually
+        # (minutes through the axon relay)
+        params = jax.jit(self.model.init)(jax.random.key(0), probe)
         self.state = create_train_state(params, self.optimizer)
         ckdir = Path(self.cfg.save_folder)
         if self.cfg.resume:
@@ -235,6 +237,16 @@ class EnhanceTrainer:
             )
         self.feature_step = self._make_feature_step(miso1_model, miso1_params)
         self.precomputed_step = self._make_precomputed_step()
+        from misonet_tpu.losses import loss_enhance, loss_upit
+
+        _eval_loss = loss_upit if joint else loss_enhance
+
+        @jax.jit
+        def _eval_step(params, x, y):
+            est = enhance_model.apply(params, x)
+            return _eval_loss(est, y), est
+
+        self.eval_step = _eval_step
         self.state = None
         self.history: dict[str, list[float]] = {"train": [], "val": []}
 
@@ -321,8 +333,6 @@ class EnhanceTrainer:
         return self.history
 
     def _run_epoch(self, epoch: int, data: Iterable, training: bool) -> float:
-        from misonet_tpu.losses import loss_enhance, loss_upit
-
         total, count = 0.0, 0
         for i, batch in enumerate(data):
             mix_w = jnp.asarray(batch["mix"])
@@ -336,7 +346,7 @@ class EnhanceTrainer:
                 feats = self.feature_step(mix_w, ref_w)
             x, y = self._build_inputs(*feats)
             if self.state is None:
-                params = self.model.init(jax.random.key(0), x)
+                params = jax.jit(self.model.init)(jax.random.key(0), x)
                 self.state = create_train_state(params, self.optimizer)
             if training:
                 self.state, metrics = self.train_step(self.state, x, y)
@@ -344,10 +354,8 @@ class EnhanceTrainer:
                 if i % self.cfg.print_freq == 0:
                     print(f"  epoch {epoch} batch {i}: loss {loss:.4f}")
             else:
-                est = self.model.apply(self.state.params, x)
-                loss = float(
-                    loss_upit(est, y) if self.joint else loss_enhance(est, y)
-                )
+                loss_val, _ = self.eval_step(self.state.params, x, y)
+                loss = float(loss_val)
             total += loss
             count += 1
         return total / max(count, 1)

@@ -79,17 +79,31 @@ def main() -> None:
         _test(cfg, args)
 
 
+def _discover(cfg):
+    """Dataset-specific corpus discovery (the reference dispatches per
+    dataset in its Extraction branch, run.py:33-61)."""
+    from misonet_tpu.data.extraction import discover_smswsj
+    from misonet_tpu.data.reverb import discover_reverb_2mix, discover_rir_mixing
+
+    ds = cfg.dataset
+    root = Path(ds.root_dir)
+    if ds.name == "REVERB_2MIX":
+        # .lst scp file if present (REVERB_2MIX.py:120-138), else glob
+        return discover_reverb_2mix(root / "list.lst", root, ds.num_spks)
+    if ds.name == "RIR_mixing":
+        return discover_rir_mixing(root, ds.num_spks)
+    return discover_smswsj(
+        root / "observation", root / "speech_source", ds.num_spks
+    )
+
+
 def _extract(cfg) -> None:
     import os
 
-    from misonet_tpu.data.extraction import discover_smswsj, extract_corpus
+    from misonet_tpu.data.extraction import extract_corpus
 
     ds = cfg.dataset
-    specs = discover_smswsj(
-        Path(ds.root_dir) / "observation",
-        Path(ds.root_dir) / "speech_source",
-        ds.num_spks,
-    )
+    specs = _discover(cfg)
     n = extract_corpus(
         specs,
         ds.pickle_dir,
@@ -190,7 +204,6 @@ def _train(cfg, args) -> None:
 
 
 def _test(cfg, args) -> None:
-    from misonet_tpu.data.extraction import discover_smswsj
     from misonet_tpu.inference.evaluate import CascadeEvaluator
     from misonet_tpu.models import make_miso1, make_miso2, make_miso3
 
@@ -229,11 +242,7 @@ def _test(cfg, args) -> None:
         joint=joint,
         beamform_utterance=args.target != "MISO1",
     )
-    specs = discover_smswsj(
-        Path(ds.root_dir) / "observation",
-        Path(ds.root_dir) / "speech_source",
-        ds.num_spks,
-    )
+    specs = _discover(cfg)
     scores = ev.evaluate_corpus(
         specs, Path(args.logdir) / "wav_out", max_utts=args.max_utts
     )

@@ -118,6 +118,63 @@ def test_cli_config_dir_resolution(corpus_and_config, monkeypatch):
     assert list((root / "shards").glob("*.npz"))
 
 
+def test_cli_extraction_reverb(tmp_path):
+    """-d REVERB_2MIX dispatches the REVERB corpus discovery (mixture
+    '<utt>.wav' + '<utt>_s<k>.wav' sources at the corpus root)."""
+    from misonet_tpu.data.synthetic import synth_mixture
+    from misonet_tpu.data.wavio import write_wav
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for u in range(2):
+        d = synth_mixture(u, num_samples=2500, num_ch=3)
+        write_wav(corpus / f"utt{u}.wav", d["mix"], 8000)
+        for s in range(2):
+            write_wav(corpus / f"utt{u}_s{s}.wav", d["ref"][s], 8000)
+
+    cfg = tmp_path / "reverb.yml"
+    cfg.write_text(f"""
+REVERB_2MIX:
+  rootdir: {corpus}/
+  fs: 8000
+  chunk_time: 0.25
+  least_time: 0.125
+  num_spks: 2
+  num_ch: 3
+  saved_tr_pickle_dir: {tmp_path}/shards/
+""")
+    _run(["-c", str(cfg), "-d", "REVERB_2MIX", "-m", "Extraction"], ROOT)
+    assert list((tmp_path / "shards").glob("*.npz"))
+
+
+def test_cli_extraction_rir_mixing(tmp_path):
+    """-d RIR_mixing dispatches the premixed-RIR discovery
+    ('<utt>_mix.wav' + '<utt>_ref<k>.wav')."""
+    from misonet_tpu.data.synthetic import synth_mixture
+    from misonet_tpu.data.wavio import write_wav
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    d = synth_mixture(0, num_samples=2500, num_ch=3)
+    write_wav(corpus / "utt0_mix.wav", d["mix"], 8000)
+    for s in range(2):
+        write_wav(corpus / f"utt0_ref{s + 1}.wav", d["ref"][s], 8000)
+
+    cfg = tmp_path / "rir.yml"
+    cfg.write_text(f"""
+RIR_mixing:
+  rootdir: {corpus}/
+  fs: 8000
+  chunk_time: 0.25
+  least_time: 0.125
+  num_spks: 2
+  num_ch: 3
+  saved_tr_pickle_dir: {tmp_path}/shards/
+""")
+    _run(["-c", str(cfg), "-d", "RIR_mixing", "-m", "Extraction"], ROOT)
+    assert list((tmp_path / "shards").glob("*.npz"))
+
+
 def test_cli_train_miso1(corpus_and_config):
     root, cfg = corpus_and_config
     _run(["-c", str(cfg), "-m", "Train", "-t", "MISO1",
