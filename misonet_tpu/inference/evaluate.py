@@ -84,6 +84,11 @@ class CascadeEvaluator:
         self._stft = jax.jit(
             lambda w: stft_scaled(w, self.stft_cfg)
         )
+        # jitted enhance apply: eager apply dispatches op-by-op through
+        # the device relay (~50 ms each)
+        self._enh_apply = (
+            jax.jit(enhance_model.apply) if enhance_model is not None else None
+        )
 
     # ------------------------------------------------------------------
     def process(
@@ -245,24 +250,24 @@ class CascadeEvaluator:
             m1 = self._restft_miso1(miso1_ref, n, t)
             if self.joint:
                 x = enhance_input(mix_b, m1[None], bf_stft[None])
-                return model.apply(params, x)[0]
+                return self._enh_apply(params, x)[0]
             mix_rep = jnp.repeat(mix_b, s, axis=0)
             x = enhance_input(
                 mix_rep, m1[:, None], bf_stft[:, None]
             )                                             # [S, C+2, T, F]
-            return model.apply(params, x)[:, 0]
+            return self._enh_apply(params, x)[:, 0]
         else:  # chunk mode: [N, S, T, F]
             nb, s, t, f = bf_stft.shape
             if self.joint:
                 x = enhance_input(mix_stft, miso1_ref, bf_stft)
-                return model.apply(params, x)
+                return self._enh_apply(params, x)
             mix_rep = jnp.repeat(mix_stft, s, axis=0)
             x = enhance_input(
                 mix_rep,
                 miso1_ref.reshape(nb * s, 1, t, f),
                 bf_stft.reshape(nb * s, 1, t, f),
             )
-            return model.apply(params, x).reshape(nb, s, t, f)
+            return self._enh_apply(params, x).reshape(nb, s, t, f)
 
     def _restft_miso1(self, miso1_ref, n, t_frames):
         """Stitch per-chunk MISO1 ref-ch estimates to the utterance frame
