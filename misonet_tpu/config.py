@@ -63,6 +63,16 @@ class DatasetConfig:
     tr_file: str = "train_si284"
     dev_file: str = "cv_dev93"
     test_file: str = "test_eval92"
+    # Corpus sub-directory names (reference NN_BSS.yml:37-43) and the
+    # save_flag gates (:47-54) for companion signals stored with each chunk.
+    mix_subdir: str = "observation"
+    clean_subdir: str = "speech_source"
+    early_subdir: str = "early"
+    tail_subdir: str = "tail"
+    noise_subdir: str = "noise"
+    save_early: bool = False
+    save_tail: bool = False
+    save_noise: bool = False
 
     @property
     def chunk_samples(self) -> int:
@@ -199,6 +209,14 @@ def load_yaml(path: str | Path) -> Config:
         root_dir=ds_raw.get("rootdir", ""),
         pickle_dir=ds_raw.get("saved_tr_pickle_dir", ""),
         dev_pickle_dir=ds_raw.get("saved_dt_pickle_dir", ""),
+        mix_subdir=ds_raw.get("mix", "observation"),
+        clean_subdir=ds_raw.get("clean", "speech_source"),
+        early_subdir=ds_raw.get("early", "early"),
+        tail_subdir=ds_raw.get("tail", "tail"),
+        noise_subdir=ds_raw.get("noise", "noise"),
+        save_early=bool((ds_raw.get("save_flag") or {}).get("early", False)),
+        save_tail=bool((ds_raw.get("save_flag") or {}).get("tail", False)),
+        save_noise=bool((ds_raw.get("save_flag") or {}).get("noise", False)),
     )
 
     opt_raw = raw.get("optimizer", {})

@@ -37,6 +37,7 @@ class ShardDataset:
         host_count: int = 1,
         with_features: bool = False,
         num_ch_utilize: int = 0,
+        extra_keys: tuple[str, ...] = (),
     ):
         root = Path(shard_dir)
         files = sorted(
@@ -53,16 +54,21 @@ class ShardDataset:
         # Mic subsampling [0:M:M//num_ch_utilize] (reference data.py:81,:92);
         # 0 keeps all channels.
         self.num_ch_utilize = num_ch_utilize
+        # Companion signals stored by the extractor (early/tail/noise keys,
+        # reference SMS_WSJ.py:102-127) passed through when present.
+        self.extra_keys = tuple(extra_keys)
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         path = self.files[idx]
+        extras = {}
         if path.suffix == ".npz":
             with np.load(path) as z:
                 mix = z["mix"]
                 refs = [z[f"ref{s + 1}"] for s in range(self.num_spks)]
+                extras = {k: z[k] for k in self.extra_keys if k in z.files}
         else:  # reference-format pickle (data.py:72-77)
             with open(path, "rb") as f:
                 d = pickle.load(f)
@@ -77,7 +83,7 @@ class ShardDataset:
             m = mix.shape[1]
             mix = mix[:, 0 : m : m // self.num_ch_utilize]
         refs = [r[:, 0] if r.ndim > 1 else r for r in refs]
-        item = {"mix": mix, "ref": np.stack(refs, axis=0)}
+        item = {"mix": mix, "ref": np.stack(refs, axis=0), **extras}
         if self.with_features:
             feat_path = path.with_suffix(".feat.npz")
             with np.load(feat_path) as z:

@@ -27,27 +27,56 @@ class ExtractionSpec:
     """One utterance to extract: mixture wav + per-speaker source wavs.
 
     For SMS-WSJ the mixture is ``observation/<utt>.wav`` and sources are
-    ``speech_source/<utt>_0.wav`` / ``_1.wav`` (SMS_WSJ.py:283-312)."""
+    ``speech_source/<utt>_0.wav`` / ``_1.wav`` (SMS_WSJ.py:283-312).
+
+    ``companions`` are extra aligned signals stored alongside under their
+    key — the reference's early/tail/noise (and precomputed MISO1/
+    Beamforming) companion wavs selected by ``save_flag``
+    (SMS_WSJ.py:44-69, :102-127); keys follow its pickle contract
+    (``early1``/``tail1``/``noise``/``MISO1_1``/``Beamforming_1``...).
+    Unlike the reference's six parallel pickle dirs, companions land in
+    the same .npz shard as the mixture/refs."""
 
     utt_id: str
     mix_path: str
     source_paths: tuple[str, ...]
+    companions: tuple[tuple[str, str], ...] = ()
 
 
 def discover_smswsj(
     observation_dir: str | Path,
     source_dir: str | Path,
     num_spks: int = 2,
+    early_dir: str | Path | None = None,
+    tail_dir: str | Path | None = None,
+    noise_dir: str | Path | None = None,
 ) -> list[ExtractionSpec]:
-    """Walk an SMS-WSJ-layout corpus directory into extraction specs."""
+    """Walk an SMS-WSJ-layout corpus directory into extraction specs.
+
+    ``early_dir``/``tail_dir`` hold per-speaker companions named like the
+    sources (``<utt>_<s>.wav``); ``noise_dir`` holds ``<utt>.wav``
+    (reference SMS_WSJ.py:283-312 path construction).  Companions are
+    included when the directory is given and the file exists."""
     specs = []
     for mix_path in sorted(Path(observation_dir).glob("*.wav")):
         utt = mix_path.stem
         sources = tuple(
             str(Path(source_dir) / f"{utt}_{s}.wav") for s in range(num_spks)
         )
-        if all(Path(s).exists() for s in sources):
-            specs.append(ExtractionSpec(utt, str(mix_path), sources))
+        if not all(Path(s).exists() for s in sources):
+            continue
+        comps = []
+        for key, d in (("early", early_dir), ("tail", tail_dir)):
+            if d is not None:
+                for s in range(num_spks):
+                    p = Path(d) / f"{utt}_{s}.wav"
+                    if p.exists():
+                        comps.append((f"{key}{s + 1}", str(p)))
+        if noise_dir is not None:
+            p = Path(noise_dir) / f"{utt}.wav"
+            if p.exists():
+                comps.append(("noise", str(p)))
+        specs.append(ExtractionSpec(utt, str(mix_path), sources, tuple(comps)))
     return specs
 
 
@@ -67,6 +96,14 @@ def extract_utterance(
 
     mix_chunks = train_chunks(mix, chunk, least)
     ref_chunks = [train_chunks(r, chunk, least) for r in refs]
+    comp_chunks = []
+    for key, p in spec.companions:
+        c, _ = read_wav(p)
+        # per-speaker companions (early/tail) are the ref-mic image ->
+        # mono; noise keeps its channels (reference SMS_WSJ.py:105,:122)
+        if c.ndim > 1 and key != "noise":
+            c = c[:, 0]
+        comp_chunks.append((key, train_chunks(c, chunk, least)))
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -74,6 +111,8 @@ def extract_utterance(
         payload = {"mix": mc.astype(np.float32)}
         for s, rc in enumerate(ref_chunks):
             payload[f"ref{s + 1}"] = rc[i].astype(np.float32)
+        for key, cc in comp_chunks:
+            payload[key] = cc[i].astype(np.float32)
         np.savez(out / f"{spec.utt_id}_chunk{i:03d}.npz", **payload)
     return len(mix_chunks)
 

@@ -93,7 +93,12 @@ def _discover(cfg):
     if ds.name == "RIR_mixing":
         return discover_rir_mixing(root, ds.num_spks)
     return discover_smswsj(
-        root / "observation", root / "speech_source", ds.num_spks
+        root / ds.mix_subdir,
+        root / ds.clean_subdir,
+        ds.num_spks,
+        early_dir=root / ds.early_subdir if ds.save_early else None,
+        tail_dir=root / ds.tail_subdir if ds.save_tail else None,
+        noise_dir=root / ds.noise_subdir if ds.save_noise else None,
     )
 
 

@@ -107,3 +107,46 @@ def test_wave_train_step(shard_dir):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_companion_extraction(tmp_path):
+    """early/tail/noise companions chunk with the same windows and ride in
+    the shard (reference SMS_WSJ.py:44-69, :102-127 save_flag contract)."""
+    from misonet_tpu.data.extraction import (
+        ExtractionSpec,
+        discover_smswsj,
+        extract_utterance,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 48000
+    obs, src, early, noise = (
+        tmp_path / d for d in ("observation", "speech_source", "early", "noise")
+    )
+    for d in (obs, src, early, noise):
+        d.mkdir()
+    write_wav(obs / "u0.wav", rng.standard_normal((n, 6)) * 0.1, FS)
+    for s in range(2):
+        write_wav(src / f"u0_{s}.wav", rng.standard_normal(n) * 0.1, FS)
+        write_wav(early / f"u0_{s}.wav", rng.standard_normal(n) * 0.1, FS)
+    noise_sig = (rng.standard_normal((n, 6)) * 0.01).astype(np.float32)
+    write_wav(noise / "u0.wav", noise_sig, FS)
+
+    specs = discover_smswsj(obs, src, 2, early_dir=early, noise_dir=noise)
+    assert len(specs) == 1
+    assert dict(specs[0].companions).keys() == {"early1", "early2", "noise"}
+
+    out = tmp_path / "shards"
+    n_chunks = extract_utterance(specs[0], out, CHUNK, LEAST)
+    assert n_chunks == 3  # windows at 0, 16000, + padded tail at 32000
+
+    ds = ShardDataset(out, extra_keys=("early1", "early2", "noise"))
+    item = ds[0]
+    assert item["early1"].shape == (CHUNK,)       # per-spk -> ref-mic mono
+    assert item["noise"].shape == (CHUNK, 6)      # noise keeps channels
+    np.testing.assert_allclose(
+        item["noise"], noise_sig[:CHUNK], atol=1e-4
+    )
+
+    # without extra_keys the item contract is unchanged
+    assert set(ShardDataset(out)[0].keys()) == {"mix", "ref"}
