@@ -33,6 +33,12 @@ from misonet_tpu.ops.pallas.dense_flat import (
     mask_field,
     stats_to_scale_mean,
 )
+from misonet_tpu.ops.pallas.stencil_flat import (
+    conv_down_flat,
+    deconv_up_flat,
+    interleave_up,
+    s2d_flat,
+)
 
 
 def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int) -> int:
@@ -123,8 +129,18 @@ def to_flat_bundle(x_nhwc, *, normalized: bool, tile_m: int = 2048,
     return (xf,), scale, mean
 
 
+def as_bundle(b):
+    """Normalize to the (tensors_tuple, scale, mean) bundle form — single
+    raw tensors (e.g. DenseBlockFlat outputs) get wrapped."""
+    tensors, scale, mean = b
+    if not isinstance(tensors, (tuple, list)):
+        tensors = (tensors,)
+    return tuple(tensors), scale, mean
+
+
 def merge_bundles(*bundles):
     """Logical channel-concat of flat bundles (no data movement)."""
+    bundles = [as_bundle(b) for b in bundles]
     tensors = sum((tuple(b[0]) for b in bundles), ())
     scale = jnp.concatenate([b[1] for b in bundles], axis=1)
     mean = jnp.concatenate([b[2] for b in bundles], axis=1)
@@ -144,3 +160,69 @@ def from_flat_bundle(single, t: int, f: int, dtype, tile_m: int = 2048):
     mask_row = jnp.asarray(mask_field(t, f, tile_m)[0])
     y = normalize_flat(x, scale, mean, mask_row)
     return unflatten_tf(y, t, f, tile_m).astype(dtype)
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv / ConvTranspose2dTorch param
+    names+shapes, so flat and XLA paths are checkpoint-interchangeable."""
+
+    features: int
+    c_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.c_in, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class TrunkDownFlat(nn.Module):
+    """Encoder trunk conv (3x3, stride (1,2), freq-VALID) + ELU on flat
+    bundles — ConvBlock's fused flat counterpart (same param tree:
+    <name>/Conv_0/{kernel,bias}).  Consumes the previous DenseBlock's raw
+    bundle, returns the raw conv+ELU output with its IN statistics."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, bundle, *, t: int, f_in: int, tile_in: int,
+                 tile_out: int, precise: bool = False):
+        (x,), scale, mean = as_bundle(bundle)
+        kernel, bias = _ConvParams(self.features, x.shape[1], name="Conv_0")()
+        xe, xo = s2d_flat(x, t, f_in, tile_in, tile_out)
+        y, su, sq = conv_down_flat(
+            xe, xo, kernel, bias, scale, mean,
+            t=t, f_in=f_in, tile_m=tile_out, precise=precise,
+        )
+        f_out = (f_in - 3) // 2 + 1
+        sc, mn = stats_to_scale_mean(su, sq, t * f_out)
+        return (y,), sc, mn
+
+
+class DeconvUpFlat(nn.Module):
+    """Decoder transpose conv (3x3, stride (1,2), torch geometry) + ELU on
+    flat bundles — DeconvBlock's fused flat counterpart (same param tree:
+    <name>/ConvTranspose2dTorch_0/{kernel,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, bundle, *, t: int, f_in: int, tile_in: int,
+                 tile_out: int, precise: bool = False):
+        (x,), scale, mean = as_bundle(bundle)
+        kernel, bias = _ConvParams(
+            self.features, x.shape[1], name="ConvTranspose2dTorch_0"
+        )()
+        y2, su, sq = deconv_up_flat(
+            x, kernel, bias, scale, mean,
+            t=t, f_in=f_in, tile_m=tile_in, precise=precise,
+        )
+        y, sc, mn = interleave_up(y2, su, sq, t, f_in, tile_in, tile_out)
+        return (y,), sc, mn

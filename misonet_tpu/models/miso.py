@@ -39,7 +39,9 @@ from misonet_tpu.models.blocks import (
     TemporalConvNet,
 )
 from misonet_tpu.models.flat_dense import (
+    DeconvUpFlat,
     DenseBlockFlat,
+    TrunkDownFlat,
     from_flat_bundle,
     merge_bundles,
     pick_tile_m,
@@ -75,39 +77,57 @@ class MISONet(nn.Module):
         x = x.transpose(0, 2, 3, 1).astype(dtype)  # [B, T, F, 2*C_in]
 
         # --- encoder ---------------------------------------------------
+        # Flat path: levels 0-4 stay in the lane-flattened bundle form end
+        # to end — trunk conv (fused s2d stencil kernel), DenseBlock, and
+        # skip hand-off all operate on raw tensors + IN statistics, with
+        # no NHWC materialization between enc0 and enc5.
         flat = self.cfg.flat_dense
         precise = self.cfg.compute_dtype == "float32"
-        skips = []
+        fdt = jnp.float32 if precise else jnp.bfloat16
+        skips = []       # NHWC arrays, or (bundle, f, tile) on the flat path
+        bundle = None
+        tc = fc = tile = None
         for i in range(nb):
             freq_stride = 1 if i in (0, nb - 1) else 2
+            if flat and 1 <= i <= 4:
+                f_out = (fc - 3) // 2 + 1
+                tile_out = pick_tile_m(tc, f_out, en[i], en[i], en[i])
+                bundle = TrunkDownFlat(en[i], name=f"enc{i}")(
+                    bundle, t=tc, f_in=fc, tile_in=tile, tile_out=tile_out,
+                    precise=precise,
+                )
+                fc, tile = f_out, tile_out
+                bundle = DenseBlockFlat(
+                    en[i], en[i], name=f"enc{i}_dense"
+                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
+                skips.append((bundle, fc, tile))
+                continue
+            if flat and i == 5:
+                x = from_flat_bundle(bundle, tc, fc, dtype, tile_m=tile)
             x = ConvBlock(
                 en[i],
                 strides=(1, freq_stride),
                 act_norm=(i != 0),
-                # flat path: the dense layer normalizes on load, so the
-                # trunk conv skips its IN and hands over raw + stats
-                norm=not (flat and 1 <= i < 5),
                 dtype=dtype,
                 name=f"enc{i}",
             )(x)
             if i < 5:
-                if flat:
+                if flat:  # i == 0
                     tc, fc = x.shape[1], x.shape[2]
                     tile = pick_tile_m(tc, fc, en[i], en[i], en[i])
                     # enc0's trunk has no ELU/IN (reference init_Conv2d_,
                     # model.py:401-406): consume as-is -> identity stats
                     bundle = to_flat_bundle(
-                        x, normalized=(i == 0), tile_m=tile,
-                        dtype=jnp.float32 if precise else jnp.bfloat16,
+                        x, normalized=True, tile_m=tile, dtype=fdt
                     )
-                    yb = DenseBlockFlat(
+                    bundle = DenseBlockFlat(
                         en[i], en[i], name=f"enc{i}_dense"
                     )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
-                    x = from_flat_bundle(yb, tc, fc, dtype, tile_m=tile)
-                else:
-                    x = DenseBlock(
-                        en[i], en[i], dtype=dtype, name=f"enc{i}_dense"
-                    )(x)
+                    skips.append((bundle, fc, tile))
+                    continue
+                x = DenseBlock(
+                    en[i], en[i], dtype=dtype, name=f"enc{i}_dense"
+                )(x)
             skips.append(x)
 
         # --- TCN bottleneck ([B, T, 1, C] -> [B, T, C]) -----------------
@@ -127,24 +147,34 @@ class MISONet(nn.Module):
         x = h[:, :, None, :]
 
         # --- decoder with skip concatenation ----------------------------
+        # Flat path: from dec2 on, the decoder tensor, the skip concat
+        # (logical — separate tensors, no copy), the DenseBlock, and the
+        # frequency-up deconvs all stay in bundle form; NHWC reappears
+        # only for the final stride-1 transpose conv.
+        bundle = None
         for i in range(nb):
             skip = skips[nb - 1 - i]
             if i >= 2 and flat:
-                # logical concat: both halves enter the flat pipeline as
-                # separate tensors (no NHWC concat copy)
-                cin = x.shape[-1] + skip.shape[-1]
-                tc, fc = x.shape[1], x.shape[2]
-                tile = pick_tile_m(tc, fc, cin, cin // 2, cin)
-                fdt = jnp.float32 if precise else jnp.bfloat16
-                bundle = merge_bundles(
-                    to_flat_bundle(x, normalized=True, tile_m=tile, dtype=fdt),
-                    to_flat_bundle(skip, normalized=True, tile_m=tile,
-                                   dtype=fdt),
-                )
-                yb = DenseBlockFlat(
+                skip_b, fc, tile = skip
+                if i == 2:  # entering the flat pipeline from dec1's output
+                    assert x.shape[2] == fc, (x.shape, fc)
+                    bundle = to_flat_bundle(
+                        x, normalized=True, tile_m=tile, dtype=fdt
+                    )
+                merged = merge_bundles(bundle, skip_b)
+                cin = sum(t_.shape[1] for t_ in merged[0])
+                bundle = DenseBlockFlat(
                     cin // 2, cin, name=f"dec{i}_dense"
-                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
-                x = from_flat_bundle(yb, tc, fc, dtype, tile_m=tile)
+                )(merged, t=tc, f=fc, tile_m=tile, precise=precise)
+                if i == nb - 1:
+                    x = from_flat_bundle(bundle, tc, fc, dtype, tile_m=tile)
+                else:
+                    tile_next = skips[nb - 2 - i][2]
+                    bundle = DeconvUpFlat(de[i + 1], name=f"dec{i}")(
+                        bundle, t=tc, f_in=fc, tile_in=tile,
+                        tile_out=tile_next, precise=precise,
+                    )
+                    continue
             elif i >= 2:
                 x = jnp.concatenate([x, skip], axis=-1)
                 cin = x.shape[-1]
