@@ -100,10 +100,13 @@ class ModelConfig:
     tcn_blocks: int = 7         # X, dilations 2^0..2^6
     tcn_channels: int = 128
     compute_dtype: str = "bfloat16"   # conv compute precision; stats stay fp32
-    # Compute DenseBlocks (and their InstanceNorms) with the fused Pallas
-    # flat-layout kernel (ops/pallas/dense_flat.py).  TPU-only fast path;
-    # numerics match the plain path to bf16 rounding.
-    flat_dense: bool = False
+    # Compute the U-Net body (trunk convs, DenseBlocks, deconvs and their
+    # InstanceNorms) with the fused Pallas flat-layout kernels
+    # (ops/pallas/dense_flat.py, stencil_flat.py; differentiable via
+    # ops/pallas/flat_grad.py).  "auto" enables it on TPU for the bf16
+    # F=129 production geometry and stays on the plain XLA path elsewhere;
+    # True/False force it.  Numerics match the plain path to bf16 rounding.
+    flat_dense: bool | str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,6 +180,7 @@ def _model_from_yaml(d: dict[str, Any]) -> ModelConfig:
         tcn_channels=int(d.get("tcn_channels", en[-1])),
         tcn_repeats=int(d.get("tcn_repeats", 2)),
         tcn_blocks=int(d.get("tcn_blocks", 7)),
+        flat_dense=d.get("flat_dense", "auto"),
     )
 
 

@@ -29,13 +29,15 @@ from misonet_tpu.ops.pallas.conv_flat import (
     unflatten_tf,
 )
 from misonet_tpu.ops.pallas.dense_flat import (
-    dense_layer_flat,
     mask_field,
     stats_to_scale_mean,
 )
+from misonet_tpu.ops.pallas.flat_grad import (
+    conv_down_flat_ad,
+    dense_layer_flat_ad,
+    deconv_up_flat_ad,
+)
 from misonet_tpu.ops.pallas.stencil_flat import (
-    conv_down_flat,
-    deconv_up_flat,
     interleave_up,
     s2d_flat,
 )
@@ -101,7 +103,7 @@ class DenseBlockFlat(nn.Module):
                 f"conv{i + 1}_bias", nn.initializers.zeros,
                 (widths[i],), jnp.float32,
             )
-            y, su, sq = dense_layer_flat(
+            y, su, sq = dense_layer_flat_ad(
                 tensors, kernel, bias, scales, means,
                 t=t, f=f, tile_m=tile_m, precise=precise,
             )
@@ -197,7 +199,7 @@ class TrunkDownFlat(nn.Module):
         (x,), scale, mean = as_bundle(bundle)
         kernel, bias = _ConvParams(self.features, x.shape[1], name="Conv_0")()
         xe, xo = s2d_flat(x, t, f_in, tile_in, tile_out)
-        y, su, sq = conv_down_flat(
+        y, su, sq = conv_down_flat_ad(
             xe, xo, kernel, bias, scale, mean,
             t=t, f_in=f_in, tile_m=tile_out, precise=precise,
         )
@@ -220,7 +222,7 @@ class DeconvUpFlat(nn.Module):
         kernel, bias = _ConvParams(
             self.features, x.shape[1], name="ConvTranspose2dTorch_0"
         )()
-        y2, su, sq = deconv_up_flat(
+        y2, su, sq = deconv_up_flat_ad(
             x, kernel, bias, scale, mean,
             t=t, f_in=f_in, tile_m=tile_in, precise=precise,
         )

@@ -1,0 +1,266 @@
+"""Autodiff for the fused flat-layout kernels (custom VJPs).
+
+The Pallas kernels in ``dense_flat.py`` / ``stencil_flat.py`` fuse
+conv + bias + ELU + InstanceNorm statistics into single passes on the
+lane-flattened layout.  Pallas kernels have no automatic differentiation,
+so each op gets a ``jax.custom_vjp``:
+
+* **primal** — the Pallas kernel (unchanged, fast path);
+* **backward** — exact, with *no forward recompute*: the kernel's raw
+  output ``y`` is saved as a residual, the ELU derivative is recovered
+  from it algebraically (``elu'(z) = 1`` where ``y > 0``, else
+  ``y + 1 = e^z``), the fused-statistics cotangents fold in as
+  ``dL/dy += s̄ + 2·y·q̄``, and what remains is the VJP of the *linear*
+  map ``z = conv(normalize(x)) + bias`` — a pure-JAX twin whose forward
+  XLA dead-code-eliminates under jit (only the normalized input survives,
+  for the weight gradient).  Cost: one dgrad conv + one wgrad conv per
+  layer, the same matmuls any conv backward needs.
+
+This is what makes ``ModelConfig(flat_dense=...)`` trainable: the U-Net
+body keeps the fused forward during training instead of being
+inference-only.  Gradient parity vs the plain XLA modules and twin-vs-
+kernel forward parity are covered by tests/test_flat_grad.py.
+
+Gap/pad handling needs no explicit masks in the backward: the linear
+twins emit the flat framing via pad/reshape, whose transpose *slices* —
+cotangents on pad blocks and frequency-gap columns are dropped exactly
+where the kernel writes constants.
+
+Layout/semantics being differentiated (see the kernel docstrings):
+  dense:   y = mask·ELU(conv3x3_SAME((x − mean)·scale) + bias)
+  trunk:   y = mask·ELU(conv3x3 stride(1,2) freq-VALID(norm x) + bias)
+  deconv:  y = mask·ELU(convT3x3 stride(1,2) torch-geom(norm x) + bias)
+plus per-(batch, channel) sum / sumsq of y (the fused IN statistics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from misonet_tpu.ops.pallas.conv_flat import (
+    _flat_geometry,
+    flatten_tf,
+    unflatten_tf,
+)
+
+
+def _elu(y):
+    return jnp.where(y > 0, y, jnp.expm1(jnp.minimum(y, 0.0)))
+
+
+def _stats(y_flat):
+    """(sum, sumsq) [B, N, 1] over the flat width (gap columns are zero)."""
+    s = y_flat.sum(-1)[..., None]
+    q = (y_flat * y_flat).sum(-1)[..., None]
+    return s, q
+
+
+# ---------------------------------------------------------------------------
+# Linear twins: z = conv(normalize(x)) + bias in the flat framing, pure JAX.
+# Their VJP is the custom backward; their forward is DCE'd under jit.
+# ---------------------------------------------------------------------------
+
+
+def _dense_linear(t, f, tile_m, xs, w, bias, scale, mean):
+    """conv3x3 SAME over the normalized logical concat of xs -> z_flat."""
+    xcat = jnp.concatenate([x.astype(jnp.float32) for x in xs], axis=1)
+    xn = (xcat - mean[:, :, None]) * scale[:, :, None]
+    x_nhwc = unflatten_tf(xn, t, f, tile_m)  # drops gaps/pads -> [B,T,F,C]
+    z = lax.conv_general_dilated(
+        x_nhwc,
+        w.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return flatten_tf(z + bias.astype(jnp.float32), tile_m)
+
+
+def _conv_down_linear(t, f_in, tile_m, x_even, x_odd, w, bias, scale, mean):
+    """Re-assemble the s2d frequency phases, normalize, stride-(1,2)
+    freq-VALID trunk conv -> z_flat in the (t, f_out) framing."""
+    b, c, _ = x_even.shape
+    f_out = (f_in - 3) // 2 + 1
+    fph, m2, _, _ = _flat_geometry(t, f_out, tile_m)  # phase framing = fp/2
+    ve = x_even[:, :, tile_m : tile_m + m2].reshape(b, c, t, fph)
+    vo = x_odd[:, :, tile_m : tile_m + m2].reshape(b, c, t, fph)
+    v = jnp.stack([ve, vo], axis=-1).reshape(b, c, t, 2 * fph)
+    x_nhwc = v[:, :, :, :f_in].transpose(0, 2, 3, 1).astype(jnp.float32)
+    xn = (x_nhwc - mean[:, None, None, :]) * scale[:, None, None, :]
+    z = lax.conv_general_dilated(
+        xn,
+        w.astype(jnp.float32),
+        window_strides=(1, 2),
+        padding=((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return flatten_tf(z + bias.astype(jnp.float32), tile_m)
+
+
+def _deconv_up_linear(t, f_in, tile_m, x, w, bias, scale, mean):
+    """Normalize, torch-geometry ConvTranspose (out F = 2·F_in + 1), emit
+    phase-major rows [B, 2N, Wx] in the INPUT framing."""
+    b, c, _ = x.shape
+    n = w.shape[-1]
+    fp, m_out, _, xw = _flat_geometry(t, f_in, tile_m)
+    assert fp == f_in + 1, (fp, f_in)
+    v = x[:, :, tile_m : tile_m + m_out].reshape(b, c, t, fp)[:, :, :, :f_in]
+    x_nhwc = v.transpose(0, 2, 3, 1).astype(jnp.float32)
+    xn = (x_nhwc - mean[:, None, None, :]) * scale[:, None, None, :]
+    # torch ConvTranspose2d(k=3, stride=(1,2), pad=(1,0)): lhs-dilated conv
+    # with the spatially flipped kernel, pads (kh-1-pt, kw-1-pf) = (1, 2)
+    z = lax.conv_general_dilated(
+        xn,
+        jnp.flip(w.astype(jnp.float32), (0, 1)),
+        window_strides=(1, 1),
+        padding=((1, 1), (2, 2)),
+        lhs_dilation=(1, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    z = z + bias.astype(jnp.float32)       # [B, T, 2*F_in+1, N]
+    ze = z[:, :, 0::2, :]                  # even phase: F_in+1 == fp columns
+    zo = z[:, :, 1::2, :]                  # odd phase: F_in columns
+
+    def toflat(p):
+        fcols = p.shape[2]
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, fp - fcols), (0, 0)))
+        p = p.transpose(0, 3, 1, 2).reshape(b, n, t * fp)
+        return jnp.pad(p, ((0, 0), (0, 0), (tile_m, xw - tile_m - t * fp)))
+
+    return jnp.concatenate([toflat(ze), toflat(zo)], axis=1)  # [B, 2N, Wx]
+
+
+# ---------------------------------------------------------------------------
+# Full twins (forward-parity oracles for the kernels; used by tests and as
+# the definition the backward differentiates)
+# ---------------------------------------------------------------------------
+
+
+def _twin(linear, fuse_elu, pdt, *args):
+    z = linear(*args)
+    y = _elu(z) if fuse_elu else z         # elu(0) = 0 keeps gaps zero
+    s, q = _stats(y)
+    return y.astype(pdt), s, q
+
+
+def _dense_twin(t, f, tile_m, fuse_elu, pdt, xs, w, bias, scale, mean):
+    lin = functools.partial(_dense_linear, t, f, tile_m)
+    return _twin(lin, fuse_elu, pdt, xs, w, bias, scale, mean)
+
+
+def _conv_down_twin(t, f_in, tile_m, fuse_elu, pdt,
+                    x_even, x_odd, w, bias, scale, mean):
+    lin = functools.partial(_conv_down_linear, t, f_in, tile_m)
+    return _twin(lin, fuse_elu, pdt, x_even, x_odd, w, bias, scale, mean)
+
+
+def _deconv_up_twin(t, f_in, tile_m, fuse_elu, pdt, x, w, bias, scale, mean):
+    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m)
+    return _twin(lin, fuse_elu, pdt, x, w, bias, scale, mean)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp assembly
+# ---------------------------------------------------------------------------
+
+
+def _make_ad(kernel_fn, linear_fn, fuse_elu):
+    """primal = Pallas kernel; backward = stats/ELU cotangent folding from
+    the saved raw output + VJP of the linear twin (no forward recompute)."""
+
+    @jax.custom_vjp
+    def fn(*args):
+        return tuple(kernel_fn(*args))
+
+    def fwd(*args):
+        out = tuple(kernel_fn(*args))
+        return out, (args, out[0])
+
+    def bwd(res, cts):
+        args, y = res
+        ybar, sbar, qbar = cts
+        y32 = y.astype(jnp.float32)
+        g_y = ybar.astype(jnp.float32) + sbar + 2.0 * y32 * qbar
+        if fuse_elu:
+            # elu'(z) = 1 for z > 0, e^z = y + 1 otherwise
+            g_z = g_y * jnp.where(y32 > 0, 1.0, y32 + 1.0)
+        else:
+            g_z = g_y
+        _, vjp = jax.vjp(linear_fn, *args)
+        return vjp(g_z)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_ad(t, f, tile_m, fuse_elu, precise):
+    from misonet_tpu.ops.pallas.dense_flat import dense_layer_flat
+
+    def kernel(xs, w, bias, scale, mean):
+        return dense_layer_flat(
+            xs, w, bias, scale, mean,
+            t=t, f=f, tile_m=tile_m, fuse_elu=fuse_elu,
+            want_stats=True, precise=precise,
+        )
+
+    lin = functools.partial(_dense_linear, t, f, tile_m)
+    return _make_ad(kernel, lin, fuse_elu)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_down_ad(t, f_in, tile_m, fuse_elu, precise):
+    from misonet_tpu.ops.pallas.stencil_flat import conv_down_flat
+
+    def kernel(x_even, x_odd, w, bias, scale, mean):
+        return conv_down_flat(
+            x_even, x_odd, w, bias, scale, mean,
+            t=t, f_in=f_in, tile_m=tile_m, fuse_elu=fuse_elu, precise=precise,
+        )
+
+    lin = functools.partial(_conv_down_linear, t, f_in, tile_m)
+    return _make_ad(kernel, lin, fuse_elu)
+
+
+@functools.lru_cache(maxsize=None)
+def _deconv_up_ad(t, f_in, tile_m, fuse_elu, precise):
+    from misonet_tpu.ops.pallas.stencil_flat import deconv_up_flat
+
+    def kernel(x, w, bias, scale, mean):
+        return deconv_up_flat(
+            x, w, bias, scale, mean,
+            t=t, f_in=f_in, tile_m=tile_m, fuse_elu=fuse_elu, precise=precise,
+        )
+
+    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m)
+    return _make_ad(kernel, lin, fuse_elu)
+
+
+def dense_layer_flat_ad(xs, w, bias, scale, mean, *, t, f, tile_m=2048,
+                        fuse_elu=True, precise=False):
+    """Differentiable dense_layer_flat (want_stats always on)."""
+    if not isinstance(xs, (tuple, list)):
+        xs = (xs,)
+    return _dense_ad(t, f, tile_m, fuse_elu, precise)(
+        tuple(xs), w, bias, scale, mean
+    )
+
+
+def conv_down_flat_ad(x_even, x_odd, w, bias, scale, mean, *, t, f_in,
+                      tile_m, fuse_elu=True, precise=False):
+    """Differentiable conv_down_flat."""
+    return _conv_down_ad(t, f_in, tile_m, fuse_elu, precise)(
+        x_even, x_odd, w, bias, scale, mean
+    )
+
+
+def deconv_up_flat_ad(x, w, bias, scale, mean, *, t, f_in, tile_m,
+                      fuse_elu=True, precise=False):
+    """Differentiable deconv_up_flat."""
+    return _deconv_up_ad(t, f_in, tile_m, fuse_elu, precise)(
+        x, w, bias, scale, mean
+    )
