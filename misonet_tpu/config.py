@@ -103,9 +103,13 @@ class ModelConfig:
     # Compute the U-Net body (trunk convs, DenseBlocks, deconvs and their
     # InstanceNorms) with the fused Pallas flat-layout kernels
     # (ops/pallas/dense_flat.py, stencil_flat.py; differentiable via
-    # ops/pallas/flat_grad.py).  "auto" enables it on TPU for the bf16
-    # F=129 production geometry and stays on the plain XLA path elsewhere;
-    # True/False force it.  Numerics match the plain path to bf16 rounding.
+    # ops/pallas/flat_grad.py).  "auto" enables it on TPU backends for
+    # geometries the fused kernels support (F = 2^k - 1 frequency ladder,
+    # 8-aligned channels — see models/flat_dense.py::flat_plan_supported;
+    # both the 129-bin SMS-WSJ and 257-bin REVERB plans qualify) and stays
+    # on the plain XLA path elsewhere.  True forces it (non-TPU backends
+    # then need pltpu.force_tpu_interpret_mode()); False disables it.
+    # Numerics match the plain path to bf16 rounding.
     flat_dense: bool | str = "auto"
 
 

@@ -81,24 +81,35 @@ def discover_smswsj(
 
 
 def extract_utterance(
-    spec: ExtractionSpec, out_dir: str | Path, chunk: int, least: int
+    spec: ExtractionSpec, out_dir: str | Path, chunk: int, least: int,
+    use_native: bool | None = None,
 ) -> int:
     """Chunk one utterance into .npz shards {mix [S,C], ref1 [S], ref2 [S]}
     (the reference's per-chunk pickle dict contract, SMS_WSJ.py:147-226).
-    Returns the number of chunks written."""
-    mix, _ = read_wav(spec.mix_path)
+    Returns the number of chunks written.
+
+    ``use_native`` routes wav decode through the threaded C++ library
+    (native/misonet_native.cpp via data/native.py) — None auto-detects;
+    the reference's equivalent decode is librosa inside a
+    multiprocessing.Pool (SMS_WSJ.py:18-29, :276-280)."""
+    from misonet_tpu.data import native
+
+    if use_native is None:
+        use_native = native.available()
+    read = native.read_wav_native if use_native else read_wav
+    mix, _ = read(spec.mix_path)
     if mix.ndim == 1:
         mix = mix[:, None]
     refs = []
     for p in spec.source_paths:
-        r, _ = read_wav(p)
+        r, _ = read(p)
         refs.append(r[:, 0] if r.ndim > 1 else r)
 
     mix_chunks = train_chunks(mix, chunk, least)
     ref_chunks = [train_chunks(r, chunk, least) for r in refs]
     comp_chunks = []
     for key, p in spec.companions:
-        c, _ = read_wav(p)
+        c, _ = read(p)
         # per-speaker companions (early/tail) are the ref-mic image ->
         # mono; noise keeps its channels (reference SMS_WSJ.py:105,:122)
         if c.ndim > 1 and key != "noise":
@@ -125,23 +136,27 @@ def extract_corpus(
     host_index: int = 0,
     host_count: int = 1,
     workers: int = 0,
+    use_native: bool | None = None,
 ) -> int:
     """Extract a corpus slice.  Each host takes utterances
     ``specs[host_index::host_count]`` (per-host input sharding); within a
-    host a process pool fans out utterances when ``workers`` > 1."""
+    host a process pool fans out utterances when ``workers`` > 1.
+    ``use_native`` selects the C++ wav decoder (None = auto)."""
     mine = specs[host_index::host_count]
     if workers and workers > 1:
         with ProcessPoolExecutor(max_workers=workers) as pool:
             counts = list(
                 pool.map(
                     _extract_one,
-                    [(s, str(out_dir), chunk, least) for s in mine],
+                    [(s, str(out_dir), chunk, least, use_native) for s in mine],
                 )
             )
         return sum(counts)
-    return sum(extract_utterance(s, out_dir, chunk, least) for s in mine)
+    return sum(
+        extract_utterance(s, out_dir, chunk, least, use_native) for s in mine
+    )
 
 
 def _extract_one(args) -> int:
-    spec, out_dir, chunk, least = args
-    return extract_utterance(spec, out_dir, chunk, least)
+    spec, out_dir, chunk, least, use_native = args
+    return extract_utterance(spec, out_dir, chunk, least, use_native)

@@ -153,6 +153,7 @@ class CascadeEvaluator:
                     miso1_ref,
                     bf_stft,
                     n,
+                    gap,
                 )
                 if enhanced_stft.ndim == 4:
                     enhanced = self._stitch(enhanced_stft, n, gap, out_len)
@@ -239,7 +240,7 @@ class CascadeEvaluator:
         )(src_stft)                                      # [S, T, F]
         return bf, mix_stft, src_stft.shape[-2]
 
-    def _enhance(self, mix_stft, miso1_ref, bf_stft, n):
+    def _enhance(self, mix_stft, miso1_ref, bf_stft, n, gap=0):
         """Run MISO2/3 on either per-chunk ([N,...]) or full-utterance
         spectrograms, preserving the input's leading structure."""
         model, params = self.enhance_model, self.enhance_params
@@ -247,7 +248,7 @@ class CascadeEvaluator:
             s, t, f = bf_stft.shape
             mix_b = mix_stft[None]                        # [1, C, T, F]
             # MISO1 ref-ch estimates must cover the same frames: stitch them
-            m1 = self._restft_miso1(miso1_ref, n, t)
+            m1 = self._restft_miso1(miso1_ref, n, gap, t)
             if self.joint:
                 x = enhance_input(mix_b, m1[None], bf_stft[None])
                 return self._enh_apply(params, x)[0]
@@ -269,15 +270,22 @@ class CascadeEvaluator:
             )
             return self._enh_apply(params, x).reshape(nb, s, t, f)
 
-    def _restft_miso1(self, miso1_ref, n, t_frames):
+    def _restft_miso1(self, miso1_ref, n, gap, t_frames):
         """Stitch per-chunk MISO1 ref-ch estimates to the utterance frame
-        grid used by utterance-mode beamforming."""
+        grid used by utterance-mode beamforming: trim the final chunk's
+        zero-pad ``gap`` and re-pad to the same bucketed sample length as
+        ``_beamform``'s stitched estimates, so the MISO1 conditioning
+        channels sit on exactly the BF channel's frame grid (the reference
+        iSTFTs/re-STFTs the gap-stripped utterance, tester.py:421-441)."""
         cfg = self.stft_cfg
         chunk = self.ds.chunk_samples
         wav = istft_scaled(miso1_ref, cfg, chunk)        # [Nb, S, chunk]
         wav = np.asarray(wav[:n]).transpose(1, 0, 2).reshape(
             wav.shape[1], -1
         )                                                # [S, N*chunk]
+        out_len = n * chunk - gap
+        bucket = _next_bucket(max(1, -(-out_len // chunk))) * chunk
+        wav = np.pad(wav[:, :out_len], [(0, 0), (0, bucket - out_len)])
         z = self._stft(jnp.asarray(wav))
         if z.shape[-2] < t_frames:
             z = jnp.pad(z, [(0, 0), (0, t_frames - z.shape[-2]), (0, 0)])

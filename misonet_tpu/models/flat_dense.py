@@ -43,6 +43,87 @@ from misonet_tpu.ops.pallas.stencil_flat import (
 )
 
 
+def _fp_of(f: int) -> int:
+    """Padded row width the flat layout uses for F bins (conv_flat
+    _flat_geometry)."""
+    return 128 if f == 127 else max(f + 1, ((f + 1 + 7) // 8) * 8)
+
+
+def flat_plan_supported(num_bins: int, nb: int, en, de_full) -> bool:
+    """True iff the fused flat pipeline supports this model geometry.
+
+    The fused kernels are specialized to the production U-Net shape
+    (SURVEY.md §2.1): they require, at every encoder dense level 0-4 and
+    its decoder mirror,
+
+      * a power-of-two padded row width Fp (dense_flat.py Fp assert),
+      * exact framing Fp == F + 1 so the deconv's doubled grid lines up
+        (stencil_flat.py deconv framing assert), which combined with the
+        VALID stride-2 ladder means F = 2^k - 1 down the whole ladder,
+      * 8-aligned fused-conv output channels (MASK_ROWS) capped at 128.
+
+    Anything else (small test geometries, non-129/257-bin STFTs, narrow
+    channel plans) runs the plain XLA ConvBlock/DenseBlock/DeconvBlock
+    path, which is fully general.
+    """
+    if nb < 7 or len(en) < 5 or len(de_full) != nb + 1:
+        return False
+    f = num_bins - 2  # enc0: 3x3 freq-VALID stride-1 (129 -> 127)
+    ladder = [f]
+    for _ in range(4):  # encoder trunk convs at flat levels 1-4
+        if f < 3:
+            return False
+        f_next = (f - 3) // 2 + 1
+        if _fp_of(f_next) * 2 != _fp_of(f):  # s2d phase split framing
+            return False
+        f = f_next
+        ladder.append(f)
+    for fi in ladder:
+        fp = _fp_of(fi)
+        if fp & (fp - 1) or fp != fi + 1:
+            return False
+    # fused-conv output channels: encoder levels 0-4 ...
+    for i in range(5):
+        if en[i] % 8 or en[i] > 128:
+            return False
+    # ... decoder DenseBlocks (widths cin//2 x4 + cin) and DeconvUps
+    for i in range(nb - 5, nb):
+        cin = de_full[i] + en[nb - 1 - i]
+        if cin % 16 or cin > 128:
+            return False
+        if i < nb - 1 and (de_full[i + 1] % 8 or de_full[i + 1] > 128):
+            return False
+    return True
+
+
+def resolve_flat(setting, *, num_bins: int, nb: int, en, de_full) -> bool:
+    """Resolve the ModelConfig.flat_dense setting to a concrete bool.
+
+    False -> plain XLA path.  True -> force the fused Pallas path (raises
+    on unsupported geometry; on non-TPU backends the caller must wrap
+    execution in ``pltpu.force_tpu_interpret_mode()``).  "auto" -> fused
+    path iff running on a TPU backend AND the geometry qualifies.
+    """
+    if setting is False:
+        return False
+    ok = flat_plan_supported(num_bins, nb, en, de_full)
+    if setting is True:
+        if not ok:
+            raise ValueError(
+                "flat_dense=True but the fused flat pipeline does not "
+                f"support this geometry (F={num_bins}, nb={nb}, en={tuple(en)}, "
+                f"de={tuple(de_full)}); it needs the F = 2^k - 1 VALID "
+                "stride-2 ladder and 8-aligned channels <= 128 — use "
+                "flat_dense='auto' to fall back to the XLA path."
+            )
+        return True
+    if setting == "auto":
+        import jax
+
+        return ok and jax.default_backend() == "tpu"
+    raise ValueError(f"flat_dense must be True, False or 'auto', got {setting!r}")
+
+
 def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int) -> int:
     """Lane-tile size for a DenseBlock geometry: small enough that the
     heaviest layer's patch buffer fits VMEM comfortably and the grid has

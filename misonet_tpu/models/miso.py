@@ -45,6 +45,7 @@ from misonet_tpu.models.flat_dense import (
     from_flat_bundle,
     merge_bundles,
     pick_tile_m,
+    resolve_flat,
     to_flat_bundle,
 )
 
@@ -81,7 +82,10 @@ class MISONet(nn.Module):
         # to end — trunk conv (fused s2d stencil kernel), DenseBlock, and
         # skip hand-off all operate on raw tensors + IN statistics, with
         # no NHWC materialization between enc0 and enc5.
-        flat = self.cfg.flat_dense
+        flat = resolve_flat(
+            self.cfg.flat_dense,
+            num_bins=mixture.shape[3], nb=nb, en=en, de_full=de,
+        )
         precise = self.cfg.compute_dtype == "float32"
         fdt = jnp.float32 if precise else jnp.bfloat16
         skips = []       # NHWC arrays, or (bundle, f, tile) on the flat path
@@ -154,9 +158,10 @@ class MISONet(nn.Module):
         bundle = None
         for i in range(nb):
             skip = skips[nb - 1 - i]
-            if i >= 2 and flat:
+            if i >= nb - 5 and flat:
                 skip_b, fc, tile = skip
-                if i == 2:  # entering the flat pipeline from dec1's output
+                if i == nb - 5:  # entering the flat pipeline from the
+                    # last XLA decoder level's output
                     assert x.shape[2] == fc, (x.shape, fc)
                     bundle = to_flat_bundle(
                         x, normalized=True, tile_m=tile, dtype=fdt

@@ -195,7 +195,7 @@ def conv3x3_flat(
         kern,
         grid=(b, n_m + 2),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((n, 9 * c), lambda bb, m: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda bb, m: (0, 0),

@@ -270,7 +270,7 @@ def stencil_layer_flat(
     return pl.pallas_call(
         kern,
         grid=(b, n_m + 2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(xs) + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(xs) + [
             pl.BlockSpec((1, c_tot, 1), lambda bb, m: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_out, k_total), lambda bb, m: (bb, 0, 0),

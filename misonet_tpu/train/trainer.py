@@ -51,11 +51,7 @@ from misonet_tpu.train.steps import (
     make_separate_wave_eval_step,
     make_separate_wave_train_step,
 )
-from misonet_tpu.utils.checkpoint import (
-    latest_checkpoint,
-    load_checkpoint,
-    save_checkpoint,
-)
+from misonet_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from misonet_tpu.utils.writer import MetricWriter
 
 
@@ -238,16 +234,20 @@ class EnhanceTrainer:
         self.feature_step = self._make_feature_step(miso1_model, miso1_params)
         self.precomputed_step = self._make_precomputed_step()
         from misonet_tpu.losses import loss_enhance, loss_upit
+        from misonet_tpu.train.steps import _shardings
 
         _eval_loss = loss_upit if joint else loss_enhance
 
-        @jax.jit
         def _eval_step(params, x, y):
             est = enhance_model.apply(params, x)
             return _eval_loss(est, y), est
 
-        self.eval_step = _eval_step
+        repl, data = _shardings(mesh, 2)
+        self.eval_step = jax.jit(
+            _eval_step, in_shardings=(repl, *data[1:]) if data else None
+        )
         self.state = None
+        self.start_epoch = 0
         self.history: dict[str, list[float]] = {"train": [], "val": []}
 
     def _make_feature_step(self, miso1_model, miso1_params):
@@ -312,14 +312,44 @@ class EnhanceTrainer:
             y = ref_aligned.reshape(b * s, 1, t, f)
         return x, y
 
+    def _features(self, batch):
+        mix_w = jnp.asarray(batch["mix"])
+        ref_w = jnp.asarray(batch["ref"])
+        if "miso1" in batch:
+            return self.precomputed_step(
+                mix_w, ref_w,
+                to_device(batch["miso1"]), to_device(batch["bf"]),
+            )
+        return self.feature_step(mix_w, ref_w)
+
+    def _init_state(self, example_batch) -> None:
+        """Init params (and resume, reference trainer.py:54-71 — the
+        reference resumes *both* trainers from model_load)."""
+        x, _ = self._build_inputs(*self._features(example_batch))
+        params = jax.jit(self.model.init)(jax.random.key(0), x)
+        self.state = create_train_state(params, self.optimizer)
+        if self.cfg.resume:
+            ckdir = Path(self.cfg.save_folder)
+            self.state, meta = load_checkpoint(ckdir, self.cfg.resume, self.state)
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.history = meta.get("history", self.history)
+            self.scheduler.lr = float(meta.get("lr", self.scheduler.lr))
+            self.scheduler.best = float(meta.get("best_val", self.scheduler.best))
+
     def train(self) -> dict[str, list[float]]:
-        for epoch in range(self.cfg.epochs):
+        if self.state is None:
+            self._init_state(next(iter(self.train_data)))
+        for epoch in range(self.start_epoch, self.cfg.epochs):
             tr = self._run_epoch(epoch, self.train_data, training=True)
             va = self._run_epoch(epoch, self.val_data, training=False)
             self.history["train"].append(tr)
             self.history["val"].append(va)
             lr = self.scheduler.step(va)
             self.state = set_learning_rate(self.state, lr)
+            if self.writer:
+                self.writer.scalar("train/epoch_loss", tr, epoch)
+                self.writer.scalar("val/epoch_loss", va, epoch)
+                self.writer.scalar("train/lr", lr, epoch)
             ckdir = Path(self.cfg.save_folder)
             meta = {"epoch": epoch, "history": self.history, "lr": lr,
                     "best_val": self.scheduler.best}
@@ -335,27 +365,46 @@ class EnhanceTrainer:
     def _run_epoch(self, epoch: int, data: Iterable, training: bool) -> float:
         total, count = 0.0, 0
         for i, batch in enumerate(data):
-            mix_w = jnp.asarray(batch["mix"])
-            ref_w = jnp.asarray(batch["ref"])
-            if "miso1" in batch:
-                feats = self.precomputed_step(
-                    mix_w, ref_w,
-                    to_device(batch["miso1"]), to_device(batch["bf"]),
-                )
-            else:
-                feats = self.feature_step(mix_w, ref_w)
+            feats = self._features(batch)
             x, y = self._build_inputs(*feats)
             if self.state is None:
                 params = jax.jit(self.model.init)(jax.random.key(0), x)
                 self.state = create_train_state(params, self.optimizer)
             if training:
+                if self.writer:
+                    self.writer.step_start()
                 self.state, metrics = self.train_step(self.state, x, y)
                 loss = float(metrics["loss"])
+                if self.writer:
+                    b, n_samp = batch["mix"].shape[:2]
+                    step = int(self.state.step)
+                    self.writer.step_end(step, b * n_samp / self.stft_cfg.fs)
+                    self.writer.scalar("train/loss", loss, step)
                 if i % self.cfg.print_freq == 0:
                     print(f"  epoch {epoch} batch {i}: loss {loss:.4f}")
             else:
-                loss_val, _ = self.eval_step(self.state.params, x, y)
+                loss_val, est = self.eval_step(self.state.params, x, y)
                 loss = float(loss_val)
+                if self.writer and i == 0:
+                    self._log_eval_stages(epoch, batch, feats, est)
             total += loss
             count += 1
         return total / max(count, 1)
+
+    def _log_eval_stages(self, epoch, batch, feats, est) -> None:
+        """First-val-batch spectrogram/audio logging of every cascade stage
+        — mixture / clean / MISO1 / beamformed / enhanced — the reference
+        Trainer_Enhance's TensorBoard set (trainer.py:445-497)."""
+        mix, ref_aligned, miso1_ref, bf = feats
+        n_samp = int(batch["mix"].shape[1])
+        est = est.reshape(-1, est.shape[-2], est.shape[-1])  # flatten spk dim
+        stages = {
+            "mix": to_host(mix[0, self.ds_cfg.ref_ch]),
+            "clean_s0": to_host(ref_aligned[0, 0]),
+            "miso1_s0": to_host(miso1_ref[0, 0]),
+            "bf_s0": to_host(bf[0, 0]),
+            "enhanced_s0": to_host(est[0]),
+        }
+        for tag, spec in stages.items():
+            self.writer.spectrogram(f"val/{tag}", spec, epoch)
+            self.writer.audio(f"val/{tag}", spec, epoch, n_samp)

@@ -57,6 +57,14 @@ def main() -> None:
     )
     ap.add_argument("-n", "--logdir", default="logs/run")
     ap.add_argument("--max-utts", type=int, default=None)
+    ap.add_argument(
+        "--split",
+        default=None,
+        help="corpus split directory under rootdir (the reference walks "
+        "fixed splits train_si284/cv_dev93/test_eval92, run.py:245-250); "
+        "default: Test uses <test_file>, Extraction walks <tr_file> and "
+        "<dev_file> when those split dirs exist",
+    )
     args = ap.parse_args()
 
     from misonet_tpu.config import load_yaml
@@ -72,14 +80,24 @@ def main() -> None:
     cfg = load_yaml(cfg_path)
 
     if args.mode == "Extraction":
-        _extract(cfg)
+        _extract(cfg, args.split)
     elif args.mode == "Train":
         _train(cfg, args)
     else:
         _test(cfg, args)
 
 
-def _discover(cfg):
+def _split_root(ds, split: str | None) -> Path:
+    """Resolve the corpus root for a split: <rootdir>/<split> when that
+    split directory exists (reference layout, run.py:245-250), else the
+    plain rootdir (flat single-directory corpora)."""
+    root = Path(ds.root_dir)
+    if split and (root / split / ds.mix_subdir).is_dir():
+        return root / split
+    return root
+
+
+def _discover(cfg, split: str | None = None):
     """Dataset-specific corpus discovery (the reference dispatches per
     dataset in its Extraction branch, run.py:33-61)."""
     from misonet_tpu.data.extraction import discover_smswsj
@@ -92,6 +110,7 @@ def _discover(cfg):
         return discover_reverb_2mix(root / "list.lst", root, ds.num_spks)
     if ds.name == "RIR_mixing":
         return discover_rir_mixing(root, ds.num_spks)
+    root = _split_root(ds, split)
     return discover_smswsj(
         root / ds.mix_subdir,
         root / ds.clean_subdir,
@@ -102,21 +121,39 @@ def _discover(cfg):
     )
 
 
-def _extract(cfg) -> None:
+def _extract(cfg, split: str | None = None) -> None:
     import os
 
     from misonet_tpu.data.extraction import extract_corpus
 
     ds = cfg.dataset
-    specs = _discover(cfg)
-    n = extract_corpus(
-        specs,
-        ds.pickle_dir,
-        ds.chunk_samples,
-        ds.least_samples,
-        workers=os.cpu_count() or 1,
-    )
-    print(f"extracted {n} chunks from {len(specs)} utterances -> {ds.pickle_dir}")
+    # the reference extracts the train and dev splits (SMS_WSJ.py:233-235);
+    # walk each split that exists, landing train chunks in pickle_dir and
+    # dev chunks in dev_pickle_dir.  --split restricts to one.
+    jobs = [(split, ds.pickle_dir)] if split else [
+        (ds.tr_file, ds.pickle_dir),
+        (ds.dev_file, ds.dev_pickle_dir or ds.pickle_dir),
+    ]
+    ran_split = False
+    for sp, out_dir in jobs:
+        root = _split_root(ds, sp)
+        if sp and root == Path(ds.root_dir) and not split:
+            continue  # split dir absent -> flat corpus fallback below
+        ran_split = True
+        specs = _discover(cfg, sp)
+        n = extract_corpus(
+            specs, out_dir, ds.chunk_samples, ds.least_samples,
+            workers=os.cpu_count() or 1,
+        )
+        print(f"extracted {n} chunks from {len(specs)} utterances "
+              f"[{sp or 'all'}] -> {out_dir}")
+    if not ran_split:
+        specs = _discover(cfg)
+        n = extract_corpus(
+            specs, ds.pickle_dir, ds.chunk_samples, ds.least_samples,
+            workers=os.cpu_count() or 1,
+        )
+        print(f"extracted {n} chunks from {len(specs)} utterances -> {ds.pickle_dir}")
 
 
 def _make_loaders(cfg, trainer_cfg):
@@ -247,7 +284,9 @@ def _test(cfg, args) -> None:
         joint=joint,
         beamform_utterance=args.target != "MISO1",
     )
-    specs = _discover(cfg)
+    # Test mode walks the test split like the reference's tr_inference_flag
+    # dispatch (run.py:245-250, tester.py:44-79); --split overrides.
+    specs = _discover(cfg, args.split or ds.test_file)
     scores = ev.evaluate_corpus(
         specs, Path(args.logdir) / "wav_out", max_utts=args.max_utts
     )

@@ -109,3 +109,59 @@ def test_enhance_trainer_smoke(tmp_path):
     )
     hist = tr.train()
     assert np.isfinite(hist["train"][0]) and np.isfinite(hist["val"][0])
+
+
+def test_enhance_trainer_resume_and_writer(tmp_path):
+    """EnhanceTrainer resumes from its own checkpoints (the reference
+    resumes both trainers from model_load, trainer.py:54-71) and logs the
+    reference's eval stage set (mix/clean/MISO1/BF/enhanced spectrograms +
+    audio, trainer.py:445-497)."""
+    miso1 = make_miso1(SMALL)
+    batch = _batches(7, n=1, b=1)[0]
+    import jax.numpy as jnp
+    from misonet_tpu.ops.stft import stft_scaled
+
+    probe = stft_scaled(jnp.asarray(batch["mix"]).transpose(0, 2, 1), STFT)
+    miso1_params = miso1.init(jax.random.key(0), probe)
+
+    class RecordingWriter:
+        def __init__(self):
+            self.scalars, self.specs, self.audios = [], [], []
+        def scalar(self, tag, value, step):
+            self.scalars.append(tag)
+        def spectrogram(self, tag, spec, step):
+            self.specs.append(tag)
+        def audio(self, tag, spec, step, num_samples):
+            self.audios.append(tag)
+        def step_start(self):
+            pass
+        def step_end(self, step, audio_seconds=None):
+            pass
+
+    writer = RecordingWriter()
+    miso3 = make_miso3(SMALL)
+    ck = str(tmp_path / "ck3")
+    cfg = TrainerConfig(epochs=1, save_folder=ck, checkpoint_every=1,
+                        print_freq=100)
+    tr = EnhanceTrainer(
+        miso3, miso1, miso1_params, cfg, OptimizerConfig(), STFT, DS,
+        train_data=_batches(8, n=1, b=1), val_data=_batches(9, n=1, b=1),
+        joint=False, writer=writer,
+    )
+    tr.train()
+    for tag in ("val/mix", "val/clean_s0", "val/miso1_s0", "val/bf_s0",
+                "val/enhanced_s0"):
+        assert tag in writer.specs and tag in writer.audios, tag
+    assert "train/loss" in writer.scalars
+    assert "val/epoch_loss" in writer.scalars
+
+    cfg2 = TrainerConfig(epochs=2, save_folder=ck, checkpoint_every=1,
+                         resume="epoch000", print_freq=100)
+    tr2 = EnhanceTrainer(
+        miso3, miso1, miso1_params, cfg2, OptimizerConfig(), STFT, DS,
+        train_data=_batches(10, n=1, b=1), val_data=_batches(11, n=1, b=1),
+        joint=False,
+    )
+    hist = tr2.train()
+    assert tr2.start_epoch == 1
+    assert len(hist["train"]) == 2
