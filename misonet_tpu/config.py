@@ -111,6 +111,12 @@ class ModelConfig:
     # then need pltpu.force_tpu_interpret_mode()); False disables it.
     # Numerics match the plain path to bf16 rounding.
     flat_dense: bool | str = "auto"
+    # Shard the TCN bottleneck's time axis over the mesh with halo
+    # exchange + collective norm statistics (parallel/tcn_sp.py) — for
+    # long-form utterances whose frame count exceeds one chip (SURVEY.md
+    # §5 long-context).  Requires passing the mesh to the model factory
+    # (make_miso*(cfg, sp_mesh=mesh)); numerics match the local TCN.
+    sequence_parallel: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

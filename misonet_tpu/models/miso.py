@@ -63,6 +63,9 @@ class MISONet(nn.Module):
 
     cfg: ModelConfig
     num_spks: int = 2
+    # Mesh for the sequence-parallel TCN (cfg.sequence_parallel); static
+    # model attribute like cfg (jax.sharding.Mesh is hashable).
+    sp_mesh: object = None
 
     @nn.compact
     def __call__(self, mixture: jnp.ndarray) -> jnp.ndarray:
@@ -140,14 +143,26 @@ class MISONet(nn.Module):
             f"bottleneck frequency axis must reduce to 1, got {f_bott} "
             f"(input F must be 129 for the default 7-block plan)"
         )
-        h = TemporalConvNet(
-            repeats=self.cfg.tcn_repeats,
-            blocks=self.cfg.tcn_blocks,
-            features=self.cfg.tcn_channels,
-            norm_type=self.cfg.norm_type,
-            dtype=dtype,
-            name="tcn",
-        )(x[:, :, 0, :])
+        if self.cfg.sequence_parallel and self.sp_mesh is not None:
+            from misonet_tpu.parallel.tcn_sp import TemporalConvNetSP
+
+            h = TemporalConvNetSP(
+                repeats=self.cfg.tcn_repeats,
+                blocks=self.cfg.tcn_blocks,
+                features=self.cfg.tcn_channels,
+                norm_type=self.cfg.norm_type,
+                mesh=self.sp_mesh,
+                name="tcn",
+            )(x[:, :, 0, :])
+        else:
+            h = TemporalConvNet(
+                repeats=self.cfg.tcn_repeats,
+                blocks=self.cfg.tcn_blocks,
+                features=self.cfg.tcn_channels,
+                norm_type=self.cfg.norm_type,
+                dtype=dtype,
+                name="tcn",
+            )(x[:, :, 0, :])
         x = h[:, :, None, :]
 
         # --- decoder with skip concatenation ----------------------------
@@ -204,22 +219,44 @@ class MISONet(nn.Module):
         return jax.lax.complex(real, imag)
 
 
-def make_miso1(cfg: ModelConfig, num_spks: int = 2) -> MISONet:
+def make_miso1(cfg: ModelConfig, num_spks: int = 2, sp_mesh=None) -> MISONet:
     """Separation net: C-mic complex mixture -> num_spks sources at the
-    reference mic (reference model.py:8-111, run.py:65-68)."""
-    return MISONet(cfg=cfg, num_spks=num_spks)
+    reference mic (reference model.py:8-111, run.py:65-68).  ``sp_mesh``
+    activates the sequence-parallel TCN when cfg.sequence_parallel."""
+    return MISONet(cfg=cfg, num_spks=num_spks, sp_mesh=sp_mesh)
 
 
-def make_miso2(cfg: ModelConfig, num_spks: int = 2) -> MISONet:
+def make_miso2(cfg: ModelConfig, num_spks: int = 2, sp_mesh=None) -> MISONet:
     """Joint enhancement net over mixture + per-speaker MISO1 + BF stacks
     (input channels C + 2*num_spks; reference model.py:166-278)."""
-    return MISONet(cfg=cfg, num_spks=num_spks)
+    return MISONet(cfg=cfg, num_spks=num_spks, sp_mesh=sp_mesh)
 
 
-def make_miso3(cfg: ModelConfig) -> MISONet:
+def make_miso3(cfg: ModelConfig, sp_mesh=None) -> MISONet:
     """Per-speaker enhancement net over mixture + 1 MISO1 + 1 BF channel
     (input channels C + 2; reference model.py:282-395, run.py:127)."""
-    return MISONet(cfg=cfg, num_spks=1)
+    return MISONet(cfg=cfg, num_spks=1, sp_mesh=sp_mesh)
+
+
+def training_variant(model: MISONet) -> MISONet:
+    """The model variant to differentiate through in training steps.
+
+    With ``flat_dense="auto"`` the fused Pallas path is a *forward* win
+    (20.6 vs 27.4 ms at the production geometry) but its custom-VJP
+    backward pays per-layer flat<->NHWC layout conversions, and the full
+    train step measures slower than the plain XLA path end to end
+    (78.9 vs 70.9 ms fwd+bwd+Adam, PERF.md r3).  So "auto" training takes
+    the XLA path while forward-only consumers (inference decode, eval
+    steps, the frozen-MISO1 feature stage) keep the fused kernels — the
+    two paths share one parameter tree, so this is purely a compute-path
+    choice.  Explicit True/False settings are respected unchanged."""
+    if model.cfg.flat_dense == "auto":
+        import dataclasses
+
+        return model.clone(
+            cfg=dataclasses.replace(model.cfg, flat_dense=False)
+        )
+    return model
 
 
 def enhance_input(

@@ -65,24 +65,36 @@ def _stats(y_flat):
 # ---------------------------------------------------------------------------
 
 
-def _dense_linear(t, f, tile_m, xs, w, bias, scale, mean):
+def _conv_dtype(precise):
+    """Conv-operand dtype of the linear twins.  The twins only exist for
+    their VJP (dgrad/wgrad convs); matching the kernels' bf16 MXU compute
+    keeps the custom backward at the same cost as the plain XLA path's
+    backward instead of silently running 2x-slower fp32 matmuls."""
+    return jnp.float32 if precise else jnp.bfloat16
+
+
+def _dense_linear(t, f, tile_m, precise, xs, w, bias, scale, mean):
     """conv3x3 SAME over the normalized logical concat of xs -> z_flat."""
+    cdt = _conv_dtype(precise)
     xcat = jnp.concatenate([x.astype(jnp.float32) for x in xs], axis=1)
     xn = (xcat - mean[:, :, None]) * scale[:, :, None]
     x_nhwc = unflatten_tf(xn, t, f, tile_m)  # drops gaps/pads -> [B,T,F,C]
     z = lax.conv_general_dilated(
-        x_nhwc,
-        w.astype(jnp.float32),
+        x_nhwc.astype(cdt),
+        w.astype(cdt),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return flatten_tf(z + bias.astype(jnp.float32), tile_m)
+    return flatten_tf(z.astype(jnp.float32) + bias.astype(jnp.float32),
+                      tile_m)
 
 
-def _conv_down_linear(t, f_in, tile_m, x_even, x_odd, w, bias, scale, mean):
+def _conv_down_linear(t, f_in, tile_m, precise, x_even, x_odd, w, bias,
+                      scale, mean):
     """Re-assemble the s2d frequency phases, normalize, stride-(1,2)
     freq-VALID trunk conv -> z_flat in the (t, f_out) framing."""
+    cdt = _conv_dtype(precise)
     b, c, _ = x_even.shape
     f_out = (f_in - 3) // 2 + 1
     fph, m2, _, _ = _flat_geometry(t, f_out, tile_m)  # phase framing = fp/2
@@ -92,18 +104,20 @@ def _conv_down_linear(t, f_in, tile_m, x_even, x_odd, w, bias, scale, mean):
     x_nhwc = v[:, :, :, :f_in].transpose(0, 2, 3, 1).astype(jnp.float32)
     xn = (x_nhwc - mean[:, None, None, :]) * scale[:, None, None, :]
     z = lax.conv_general_dilated(
-        xn,
-        w.astype(jnp.float32),
+        xn.astype(cdt),
+        w.astype(cdt),
         window_strides=(1, 2),
         padding=((1, 1), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return flatten_tf(z + bias.astype(jnp.float32), tile_m)
+    return flatten_tf(z.astype(jnp.float32) + bias.astype(jnp.float32),
+                      tile_m)
 
 
-def _deconv_up_linear(t, f_in, tile_m, x, w, bias, scale, mean):
+def _deconv_up_linear(t, f_in, tile_m, precise, x, w, bias, scale, mean):
     """Normalize, torch-geometry ConvTranspose (out F = 2·F_in + 1), emit
     phase-major rows [B, 2N, Wx] in the INPUT framing."""
+    cdt = _conv_dtype(precise)
     b, c, _ = x.shape
     n = w.shape[-1]
     fp, m_out, _, xw = _flat_geometry(t, f_in, tile_m)
@@ -114,14 +128,14 @@ def _deconv_up_linear(t, f_in, tile_m, x, w, bias, scale, mean):
     # torch ConvTranspose2d(k=3, stride=(1,2), pad=(1,0)): lhs-dilated conv
     # with the spatially flipped kernel, pads (kh-1-pt, kw-1-pf) = (1, 2)
     z = lax.conv_general_dilated(
-        xn,
-        jnp.flip(w.astype(jnp.float32), (0, 1)),
+        xn.astype(cdt),
+        jnp.flip(w.astype(cdt), (0, 1)),
         window_strides=(1, 1),
         padding=((1, 1), (2, 2)),
         lhs_dilation=(1, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    z = z + bias.astype(jnp.float32)       # [B, T, 2*F_in+1, N]
+    z = z.astype(jnp.float32) + bias.astype(jnp.float32)  # [B,T,2F+1,N]
     ze = z[:, :, 0::2, :]                  # even phase: F_in+1 == fp columns
     zo = z[:, :, 1::2, :]                  # odd phase: F_in columns
 
@@ -147,19 +161,21 @@ def _twin(linear, fuse_elu, pdt, *args):
     return y.astype(pdt), s, q
 
 
-def _dense_twin(t, f, tile_m, fuse_elu, pdt, xs, w, bias, scale, mean):
-    lin = functools.partial(_dense_linear, t, f, tile_m)
+def _dense_twin(t, f, tile_m, fuse_elu, pdt, xs, w, bias, scale, mean,
+                precise=True):
+    lin = functools.partial(_dense_linear, t, f, tile_m, precise)
     return _twin(lin, fuse_elu, pdt, xs, w, bias, scale, mean)
 
 
 def _conv_down_twin(t, f_in, tile_m, fuse_elu, pdt,
-                    x_even, x_odd, w, bias, scale, mean):
-    lin = functools.partial(_conv_down_linear, t, f_in, tile_m)
+                    x_even, x_odd, w, bias, scale, mean, precise=True):
+    lin = functools.partial(_conv_down_linear, t, f_in, tile_m, precise)
     return _twin(lin, fuse_elu, pdt, x_even, x_odd, w, bias, scale, mean)
 
 
-def _deconv_up_twin(t, f_in, tile_m, fuse_elu, pdt, x, w, bias, scale, mean):
-    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m)
+def _deconv_up_twin(t, f_in, tile_m, fuse_elu, pdt, x, w, bias, scale, mean,
+                    precise=True):
+    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m, precise)
     return _twin(lin, fuse_elu, pdt, x, w, bias, scale, mean)
 
 
@@ -208,7 +224,7 @@ def _dense_ad(t, f, tile_m, fuse_elu, precise):
             want_stats=True, precise=precise,
         )
 
-    lin = functools.partial(_dense_linear, t, f, tile_m)
+    lin = functools.partial(_dense_linear, t, f, tile_m, precise)
     return _make_ad(kernel, lin, fuse_elu)
 
 
@@ -222,7 +238,7 @@ def _conv_down_ad(t, f_in, tile_m, fuse_elu, precise):
             t=t, f_in=f_in, tile_m=tile_m, fuse_elu=fuse_elu, precise=precise,
         )
 
-    lin = functools.partial(_conv_down_linear, t, f_in, tile_m)
+    lin = functools.partial(_conv_down_linear, t, f_in, tile_m, precise)
     return _make_ad(kernel, lin, fuse_elu)
 
 
@@ -236,7 +252,7 @@ def _deconv_up_ad(t, f_in, tile_m, fuse_elu, precise):
             t=t, f_in=f_in, tile_m=tile_m, fuse_elu=fuse_elu, precise=precise,
         )
 
-    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m)
+    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m, precise)
     return _make_ad(kernel, lin, fuse_elu)
 
 

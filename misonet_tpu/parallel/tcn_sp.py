@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -141,3 +142,108 @@ def tcn_time_sharded(
         out_specs=P(None, axis, None),
     )
     return fn(x)
+
+
+# ---------------------------------------------------------------------------
+# Flax front-end: checkpoint-interchangeable with models.blocks.
+# TemporalConvNet (same param tree), computation routed through the
+# shard_map body above.  Selected by ModelConfig.sequence_parallel.
+# ---------------------------------------------------------------------------
+
+
+class _Kernel(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _PReLUParam(nn.Module):
+    @nn.compact
+    def __call__(self):
+        return self.param("alpha", nn.initializers.constant(0.25), (),
+                          jnp.float32)
+
+
+class _GLNParams(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        gamma = self.param("gamma", nn.initializers.ones, (1, 1, self.c),
+                           jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, self.c),
+                          jnp.float32)
+        return gamma, beta
+
+
+class _DSConvParams(nn.Module):
+    """Parameter tree of blocks.DepthwiseSeparableConv
+    (depthwise/kernel, PReLU_0/alpha, GlobalLayerNorm_0/{gamma,beta},
+    pointwise/kernel)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        dw = _Kernel((3, 1, self.c), name="depthwise")()
+        alpha = _PReLUParam(name="PReLU_0")()
+        gamma, beta = _GLNParams(self.c, name="GlobalLayerNorm_0")()
+        pw = _Kernel((1, self.c, self.c), name="pointwise")()
+        return {
+            "depthwise": {"kernel": dw},
+            "PReLU_0": {"alpha": alpha},
+            "GlobalLayerNorm_0": {"gamma": gamma, "beta": beta},
+            "pointwise": {"kernel": pw},
+        }
+
+
+class _BlockParams(nn.Module):
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "DepthwiseSeparableConv_0": _DSConvParams(
+                self.c, name="DepthwiseSeparableConv_0")(),
+            "DepthwiseSeparableConv_1": _DSConvParams(
+                self.c, name="DepthwiseSeparableConv_1")(),
+        }
+
+
+class TemporalConvNetSP(nn.Module):
+    """Sequence-parallel TemporalConvNet: same parameters/numerics as the
+    local module (blocks.TemporalConvNet), time axis sharded over
+    ``mesh`` with halo exchange + collective norm statistics.  Stats run
+    fp32 like the local path; convs too (the TCN is <5% of model FLOPs —
+    long-form T is where this path matters, not MXU saturation)."""
+
+    repeats: int
+    blocks: int
+    features: int
+    norm_type: str
+    mesh: Mesh
+    axis: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.norm_type == "IN", (
+            "sequence-parallel TCN implements the production IN outer norm"
+        )
+        params = {
+            f"repeat{r}_block{b}": _BlockParams(
+                self.features, name=f"repeat{r}_block{b}")()
+            for r in range(self.repeats)
+            for b in range(self.blocks)
+        }
+        cfg = ModelConfig(
+            tcn_repeats=self.repeats, tcn_blocks=self.blocks,
+            tcn_channels=self.features, norm_type=self.norm_type,
+        )
+        y = tcn_time_sharded(
+            params, x.astype(jnp.float32), cfg, self.mesh, self.axis
+        )
+        return y.astype(x.dtype)

@@ -27,17 +27,25 @@ if REF not in sys.path:
     sys.path.append(REF)
 
 # --- import-time shims for the reference module (not used by our code) ---
-if "soundfile" not in sys.modules:
-    sys.modules["soundfile"] = types.ModuleType("soundfile")
 if not hasattr(np, "complex"):
     np.complex = complex  # numpy 2.0 removed the alias; tester.py:672 uses it
 import scipy.signal  # noqa: E402  (tester.py calls scipy.signal.* via `scipy`)
 
+# tester.py imports soundfile (absent in this image) at module top; shim it
+# ONLY for that import — pytest imports this file at collection time, and a
+# hollow soundfile left in sys.modules would break tensorboardX's
+# ModuleNotFoundError guard in unrelated tests (utils/writer.py audio path).
+_sf_stub = "soundfile" not in sys.modules
+if _sf_stub:
+    sys.modules["soundfile"] = types.ModuleType("soundfile")
 try:
     import tester as ref_tester  # /root/reference/tester.py
     from model import MISO_1
 except Exception:  # pragma: no cover
     ref_tester = MISO_1 = None
+finally:
+    if _sf_stub:
+        del sys.modules["soundfile"]
 
 
 def _np1x_solve(a, b):
@@ -177,7 +185,12 @@ def test_mvdr_parity_on_decode_output(twin):
 
     decode = make_full_array_decode(ours, m, ref_ch=0)
     full = decode(params, jnp.asarray(mix))                  # [B,S,M,T,F]
-    got = np.asarray(mvdr_beamform(full[:, 0], jnp.asarray(mix), ref_ch=0))
+    # random-weight sources have a tiny spectral gap (unlike trained
+    # near-rank-1 estimates), so drive the power iteration to full
+    # convergence for the eigh comparison (measured: 3.2e-5 @ 300 trips)
+    got = np.asarray(
+        mvdr_beamform(full[:, 0], jnp.asarray(mix), ref_ch=0, power_iters=300)
+    )
 
     scale = np.abs(ref_bf).max()
-    np.testing.assert_allclose(got / scale, ref_bf / scale, atol=2e-2)
+    np.testing.assert_allclose(got / scale, ref_bf / scale, atol=1e-3)
