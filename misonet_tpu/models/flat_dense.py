@@ -126,20 +126,28 @@ def resolve_flat(setting, *, num_bins: int, nb: int, en, de_full) -> bool:
 
 def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int) -> int:
     """Lane-tile size for a DenseBlock geometry: small enough that the
-    heaviest layer's patch buffer fits VMEM comfortably and the grid has
+    heaviest stacked call's buffers fit VMEM comfortably and the grid has
     a few data tiles to pipeline, large enough to amortize per-tile
-    fixed work (mask build, epilogue, DMA ramp)."""
+    fixed work (mask build, epilogue, DMA ramp).
+
+    The budget models the stacked kernel (ops/pallas/dense_stack.py) at
+    the *decoder* mirror of this level, which shares the tile via the
+    skip bundle: skip concat doubles the init tensors and widens g2 —
+    patch (K0 columns), double-buffered acc in/out, window and output
+    tiles, all bf16.  Measured on v5e: F=127/63 levels pick 4096 (enc0
+    1.93 -> 1.66 ms, enc1 1.13 -> 0.95 ms), small-F levels stay at
+    1024-2048 where a 4096 grid would have too few tiles to pipeline."""
     fp = 128 if f == 127 else max(f + 1, ((f + 1 + 7) // 8) * 8)
     m_out = t * fp
     slack = slack_for(fp)
-    # heaviest layer: init + 4*g1 input channels, 16-rounded per tensor
-    k_rows = 9 * sum(
-        -(-w // 16) * 16 for w in [init_ch] + [g1] * 4
-    ) + 16 * 9
-    tile = 2048
+    r16 = -(-init_ch // 16) * 16
+    k0 = 9 * 2 * r16 + 16
+    n_tot = 4 * g1 + 2 * g2
+    bytes_per_col = 2 * k0 + 8 * n_tot + 4 * g2 + 4 * r16
+    tile = 4096
     while tile > 2 * slack and m_out < 4 * tile:
         tile //= 2
-    while tile > 2 * slack and k_rows * tile * 2 > (9 << 20):
+    while tile > 2 * slack and bytes_per_col * tile > (13 << 20):
         tile //= 2
     return max(tile, 2 * slack, 512)
 
@@ -159,7 +167,13 @@ class DenseBlockFlat(nn.Module):
 
     __call__((tensors, scale, mean), t=, f=) -> (y, y_scale, y_mean):
     the 5th layer's *raw* output with its statistics (the reference
-    returns the normalized output; normalize on use)."""
+    returns the normalized output; normalize on use).
+
+    Computation is the input-grouped stacked formulation
+    (ops/pallas/dense_stack.py): one wide-N kernel call per source tensor
+    instead of one narrow-N call per layer, which lifts MXU occupancy off
+    the N/128 cap.  Parameters are identical to ``models.blocks.DenseBlock``
+    (checkpoint-interchangeable)."""
 
     g1: int
     g2: int
@@ -167,34 +181,36 @@ class DenseBlockFlat(nn.Module):
     @nn.compact
     def __call__(self, bundle, *, t: int, f: int, tile_m: int = 2048,
                  precise: bool = False):
+        from misonet_tpu.ops.pallas.dense_stack import dense_block_stacked
+
         tensors, scales, means = bundle
         tensors = tuple(tensors)
         init_ch = sum(x.shape[1] for x in tensors)
         widths = [self.g1] * 4 + [self.g2]
         in_chs = [init_ch + i * self.g1 for i in range(5)]
 
-        for i in range(5):
-            kernel = self.param(
+        kernels = [
+            self.param(
                 f"conv{i + 1}_kernel",
                 nn.initializers.lecun_normal(),
                 (3, 3, in_chs[i], widths[i]),
                 jnp.float32,
             )
-            bias = self.param(
+            for i in range(5)
+        ]
+        biases = [
+            self.param(
                 f"conv{i + 1}_bias", nn.initializers.zeros,
                 (widths[i],), jnp.float32,
             )
-            y, su, sq = dense_layer_flat_ad(
-                tensors, kernel, bias, scales, means,
-                t=t, f=f, tile_m=tile_m, precise=precise,
-            )
-            sc_i, mn_i = stats_to_scale_mean(su, sq, t * f)
-            if i < 4:
-                tensors = tensors + (y,)
-                scales = jnp.concatenate([scales, sc_i], axis=1)
-                means = jnp.concatenate([means, mn_i], axis=1)
-            else:
-                return y, sc_i, mn_i
+            for i in range(5)
+        ]
+        y, su, sq = dense_block_stacked(
+            tensors, scales, means, kernels, biases,
+            t=t, f=f, tile_m=tile_m, precise=precise,
+        )
+        sc, mn = stats_to_scale_mean(su, sq, t * f)
+        return y, sc, mn
 
 
 def to_flat_bundle(x_nhwc, *, normalized: bool, tile_m: int = 2048,

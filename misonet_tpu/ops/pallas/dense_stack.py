@@ -1,0 +1,507 @@
+"""Input-grouped ("stacked") DenseBlock layer kernel: the wide-N
+restructuring of ``dense_layer_flat`` that breaks the N/128 MXU cap.
+
+The per-layer kernel (ops/pallas/dense_flat.py) computes one DenseBlock
+layer per call with N = 24-32 output channels; on the 128-wide MXU the
+transposed matmul ``w[N, K] @ p[K, M]`` caps utilization at N/128 ~ 19-25%,
+and the measured forward sits exactly there (PERF.md r3: dense kernels are
+15.0 of the 20.3 ms flat forward at ~23% MXU).
+
+This kernel applies the same linearity restructuring the plain-XLA
+DenseBlock uses (models/blocks.py, "input-grouped wide matmuls"): when a
+source tensor becomes available, convolve it once with the *stacked*
+kernels of every layer that consumes it.  Call s (s = 0..4) computes
+
+    z_s = conv3x3(normalize(x_s), [W_s | W_{s+1} | ... | W_4][src slice])
+
+with N_s = sum of the consuming layers' widths (120, 96, 72, 48, 24 for
+the encoder blocks — average MXU occupancy ~69% instead of 19%), then
+
+    * finalizes layer s:  y_s = mask * ELU(z_s[:w_s] + acc[:w_s] + b_s),
+      plus fused per-(batch, channel) sum/sumsq (the IN statistics);
+    * forwards the partial pre-activations of layers s+1..4:
+      acc_out = z_s[w_s:] + acc[w_s:].
+
+The accumulator rides HBM between calls in bf16 (f32 under ``precise``);
+each partial suffers at most 4 roundings, the same accumulation precision
+class as the bf16 XLA path.  Layout, framing, window DMA, and the raw+stats
+bundle contract are identical to dense_flat.py.
+
+Second change vs dense_flat: the mean-correction mask block shrinks from
+9 taps x 16 rows (144 K-rows) to ONE 16-row block of 9 indicator fields.
+For a 3x3 SAME stencil the per-tap validity decomposes as
+``mask_j = 1 - invT_dt - invF_df + invT_dt*invF_df`` with only the edge
+rows/columns active, so
+
+    sum_j beta_j mask_j = (sum_j beta_j) * 1
+                        - sum_dt (sum_df beta) * [t == edge_dt]
+                        - sum_df (sum_dt beta) * [f == edge_df]
+                        + sum_jj beta_j * [corner]
+
+— nine fields (ones, 2 time edges, 2 freq edges, 4 corners) built from a
+single iota, with the per-layer beta coefficients regrouped to match.
+
+Reference semantics unchanged (model.py:437-482: five conv3x3+ELU+IN
+layers over the DenseNet concatenation); tests/test_dense_stack.py checks
+parity against the plain DenseBlock module and dense_layer_flat.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from misonet_tpu.ops.pallas.conv_flat import _flat_geometry, slack_for
+from misonet_tpu.ops.pallas.dense_flat import (
+    MASK_ROWS,
+    _round_up,
+    tap_pieces,
+)
+
+K_MASK = 16  # one 16-row block of indicator fields (9 used, 7 zero)
+
+
+def _kernel(widths, strides, n_total, n_fin, n_m, tile_m, fp, f, m_out,
+            t_frames, slack, have_acc, pdt, adt, *refs):
+    nt = len(widths)
+    n_rest = n_total - n_fin
+    x_hbms, rest = refs[:nt], refs[nt:]
+    (scale_ref, w_ref, bias_ref), rest = rest[:3], rest[3:]
+    if have_acc:
+        acc_in_ref, rest = rest[0], rest[1:]
+    (y_ref, sum_ref, sq_ref), rest = rest[:3], rest[3:]
+    if n_rest:
+        acc_out_ref, rest = rest[0], rest[1:]
+    scr = rest
+    wins, scr = scr[:nt], scr[nt:]
+    p_ref, s_sum, s_sq, sems = scr
+    w_win = tile_m + 2 * slack
+
+    bb = pl.program_id(0)
+    m = pl.program_id(1)          # 0 and n_m+1 are pad blocks
+    mm = m - 1
+
+    def dma(ti, slot, tile):
+        return pltpu.make_async_copy(
+            x_hbms[ti].at[bb, :, pl.ds(tile * tile_m + tile_m - slack, w_win)],
+            wins[ti].at[slot],
+            sems.at[ti, slot],
+        )
+
+    @pl.when((bb == 0) & (m == 0))
+    def _():
+        p_ref[:, :] = jnp.zeros_like(p_ref)
+
+    @pl.when((m == 0) | (m == n_m + 1))
+    def _():
+        y_ref[0] = jnp.zeros_like(y_ref[0])
+        if n_rest:
+            acc_out_ref[0] = jnp.zeros_like(acc_out_ref[0])
+
+    @pl.when((m > 0) & (m <= n_m))
+    def _():
+        # double-buffered window DMAs, slot = tile parity
+        @pl.when(mm == 0)
+        def _():
+            for ti in range(nt):
+                dma(ti, 0, 0).start()
+
+        nxt = mm + 1
+
+        @pl.when((nxt < n_m) & (nxt % 2 == 0))
+        def _():
+            for ti in range(nt):
+                dma(ti, 0, nxt).start()
+
+        @pl.when((nxt < n_m) & (nxt % 2 == 1))
+        def _():
+            for ti in range(nt):
+                dma(ti, 1, nxt).start()
+
+        # --- mean-correction indicator fields, one 16-row K block --------
+        # row r, output column c (fp is a power of two):
+        #   r=0: 1   r=1: [t==0]   r=2: [t==T-1]   r=3: [f==0]  r=4: [f==F-1]
+        #   r=5..8: the four corner products       r>=9: 0
+        cols0 = (
+            jax.lax.broadcasted_iota(jnp.int32, (K_MASK, tile_m), 1)
+            + mm * tile_m
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (K_MASK, tile_m), 0)
+        fcol = cols0 & (fp - 1)
+        t0 = cols0 < fp
+        tN = (cols0 >= (t_frames - 1) * fp) & (cols0 < m_out)
+        f0 = fcol == 0
+        fN = fcol == (f - 1)
+        field = (
+            (rows == 0)
+            | ((rows == 1) & t0)
+            | ((rows == 2) & tN)
+            | ((rows == 3) & f0)
+            | ((rows == 4) & fN)
+            | ((rows == 5) & t0 & f0)
+            | ((rows == 6) & t0 & fN)
+            | ((rows == 7) & tN & f0)
+            | ((rows == 8) & tN & fN)
+        )
+        base = sum(9 * s for s in strides)
+        p_ref[base : base + K_MASK, :] = field.astype(pdt)
+
+        @pl.when(mm % 2 == 0)
+        def _():
+            for ti in range(nt):
+                dma(ti, 0, mm).wait()
+
+        @pl.when(mm % 2 == 1)
+        def _():
+            for ti in range(nt):
+                dma(ti, 1, mm).wait()
+
+        off = 0
+        base = 0
+        for ti, (width, stride) in enumerate(zip(widths, strides)):
+            win = wins[ti][mm % 2]
+            ch = win[:, :].astype(jnp.float32) * scale_ref[0, off : off + width, :]
+            for j, piece in tap_pieces(ch, fp, tile_m, slack):
+                p_ref[base + j * stride : base + j * stride + width, :] = (
+                    piece.astype(pdt)
+                )
+            off += width
+            base += 9 * stride
+        z = jax.lax.dot_general(
+            w_ref[0], p_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        if have_acc:
+            acc = acc_in_ref[0].astype(jnp.float32)
+            z = z + acc
+        zf = z[:n_fin, :] + bias_ref[:, :]
+        # expm1 has no Mosaic lowering; exp(x)-1 is exact for x <= 0
+        y = jnp.where(zf > 0, zf, jnp.exp(jnp.minimum(zf, 0.0)) - 1.0)
+        # (T, F)-validity mask on the finalized rows
+        vcols = (
+            jax.lax.broadcasted_iota(jnp.int32, (MASK_ROWS, tile_m), 1)
+            + mm * tile_m
+        )
+        vmask = (((vcols & (fp - 1)) < f) & (vcols < m_out)).astype(jnp.float32)
+        mfull = jnp.concatenate([vmask] * (n_fin // MASK_ROWS), axis=0)
+        y = y * mfull
+        y_ref[0] = y.astype(y_ref.dtype)
+
+        if n_rest:
+            acc_out_ref[0] = z[n_fin:, :].astype(acc_out_ref.dtype)
+
+        @pl.when(mm == 0)
+        def _():
+            s_sum[:, :] = jnp.zeros_like(s_sum)
+            s_sq[:, :] = jnp.zeros_like(s_sq)
+
+        s_sum[:, :] += jnp.sum(y, axis=1, keepdims=True)
+        s_sq[:, :] += jnp.sum(y * y, axis=1, keepdims=True)
+
+        @pl.when(mm == n_m - 1)
+        def _():
+            sum_ref[0] = s_sum[:, :]
+            sq_ref[0] = s_sq[:, :]
+
+
+def stack_wb(w_stack: jnp.ndarray, widths, strides,
+             scale: jnp.ndarray, mean: jnp.ndarray, pdt) -> jnp.ndarray:
+    """Combined per-batch weight matrix [B, N, K] for the stacked call:
+    per-tensor/per-tap conv weight blocks (zero rows at the stride
+    padding) followed by the 16 mean-correction field columns."""
+    c_tot, n = w_stack.shape[2], w_stack.shape[3]
+    b = scale.shape[0]
+    w9 = w_stack.reshape(9, c_tot, n)
+    blocks = []
+    off = 0
+    for width, stride in zip(widths, strides):
+        for j in range(9):
+            blk = w9[j, off : off + width, :]
+            blocks.append(jnp.pad(blk, ((0, stride - width), (0, 0))))
+        off += width
+    w_main = jnp.concatenate(blocks, axis=0).T          # [n, sum(9*stride)]
+    w_main = jnp.broadcast_to(w_main, (b,) + w_main.shape)
+
+    mu_sc = (mean * scale).astype(jnp.float32)          # [B, C]
+    beta = -jnp.einsum(
+        "jcn,bc->bnj", w9.astype(jnp.float32), mu_sc
+    ).reshape(b, n, 3, 3)
+    cols = [
+        beta.sum((2, 3)),
+        -beta[:, :, 0, :].sum(-1),
+        -beta[:, :, 2, :].sum(-1),
+        -beta[:, :, :, 0].sum(-1),
+        -beta[:, :, :, 2].sum(-1),
+        beta[:, :, 0, 0],
+        beta[:, :, 0, 2],
+        beta[:, :, 2, 0],
+        beta[:, :, 2, 2],
+    ]
+    k16 = jnp.stack(cols, axis=2)                       # [B, n, 9]
+    k16 = jnp.pad(k16, ((0, 0), (0, 0), (0, K_MASK - 9)))
+    return jnp.concatenate([w_main, k16], axis=2).astype(pdt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t", "f", "n_fin", "tile_m", "precise"),
+)
+def dense_stack_flat(
+    xs: tuple,            # source tensors [B, g_i, Wx], flat layout, raw
+    acc_in,               # [B, N, Wx] partial pre-activations, or None
+    w_stack: jnp.ndarray, # f32 [3, 3, sum(g_i), N] stacked consumer kernels
+    bias: jnp.ndarray,    # f32 [n_fin] bias of the layer being finalized
+    scale: jnp.ndarray,   # f32 [B, sum(g_i)] per-channel 1/sigma
+    mean: jnp.ndarray,    # f32 [B, sum(g_i)] per-channel mean
+    *,
+    t: int,
+    f: int,
+    n_fin: int,
+    tile_m: int = 2048,
+    precise: bool = False,
+):
+    """One stacked DenseBlock call: convolve the newly available source
+    tensor(s) with the stacked kernels of all consuming layers, finalize
+    the first ``n_fin`` rows (+acc, +bias, ELU, mask, IN stats) and pass
+    the rest through as updated partials.
+
+    Returns (y [B, n_fin, Wx] pdt, sums, sqs [B, n_fin, 1] f32,
+    acc_out [B, N - n_fin, Wx] or None)."""
+    if not isinstance(xs, (tuple, list)):
+        xs = (xs,)
+    xs = tuple(xs)
+    widths = [int(x.shape[1]) for x in xs]
+    c_tot = sum(widths)
+    b = xs[0].shape[0]
+    n_total = w_stack.shape[-1]
+    n_rest = n_total - n_fin
+    fp, m_out, n_m, xw = _flat_geometry(t, f, tile_m)
+    assert all(x.shape[2] == xw and x.shape[0] == b for x in xs)
+    assert w_stack.shape[2] == c_tot, (w_stack.shape, c_tot)
+    assert n_fin % MASK_ROWS == 0 and n_total % MASK_ROWS == 0, (n_fin, n_total)
+    assert fp & (fp - 1) == 0, f"Fp={fp} must be a power of two (F={f})"
+    assert acc_in is None or acc_in.shape == (b, n_total, xw), (
+        None if acc_in is None else acc_in.shape, (b, n_total, xw))
+    slack = slack_for(fp)
+    assert slack <= tile_m and slack % 128 == 0, (slack, tile_m)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    adt = jnp.float32 if precise else jnp.bfloat16
+    q = 8 if precise else 16
+    strides = [_round_up(width, q) for width in widths]
+    k_total = sum(9 * s for s in strides) + K_MASK
+
+    wb = stack_wb(w_stack, widths, strides, scale, mean, pdt)
+    scale3 = scale[:, :, None]
+    bias2 = bias.reshape(n_fin, 1).astype(jnp.float32)
+
+    have_acc = acc_in is not None
+    kern = functools.partial(
+        _kernel, tuple(widths), tuple(strides), n_total, n_fin, n_m,
+        tile_m, fp, f, m_out, t, slack, have_acc, pdt, adt,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n_fin, xw), pdt),
+        jax.ShapeDtypeStruct((b, n_fin, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, n_fin, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, n_fin, tile_m), lambda bb, m: (bb, 0, m),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_fin, 1), lambda bb, m: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_fin, 1), lambda bb, m: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if n_rest:
+        out_shape.append(jax.ShapeDtypeStruct((b, n_rest, xw), adt))
+        out_specs.append(
+            pl.BlockSpec((1, n_rest, tile_m), lambda bb, m: (bb, 0, m),
+                         memory_space=pltpu.VMEM)
+        )
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(xs) + [
+        pl.BlockSpec((1, c_tot, 1), lambda bb, m: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_total, k_total), lambda bb, m: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_fin, 1), lambda bb, m: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = list(xs) + [scale3, wb, bias2]
+    if have_acc:
+        in_specs.append(
+            pl.BlockSpec((1, n_total, tile_m), lambda bb, m: (bb, 0, m),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(acc_in)
+    w_win = tile_m + 2 * slack
+    scratch = [
+        pltpu.VMEM((2, width, w_win), x.dtype)
+        for width, x in zip(widths, xs)
+    ] + [
+        pltpu.VMEM((k_total, tile_m), pdt),
+        pltpu.VMEM((n_fin, 1), jnp.float32),
+        pltpu.VMEM((n_fin, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((len(xs), 2)),
+    ]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_m + 2),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(*operands)
+    if n_rest:
+        return out[0], out[1], out[2], out[3]
+    return out[0], out[1], out[2], None
+
+
+# ---------------------------------------------------------------------------
+# Autodiff: custom VJP with a pure-JAX linear twin (same scheme as
+# flat_grad.py — the twin's forward is DCE'd under jit, its VJP is the
+# backward; ELU/stats cotangents are folded algebraically from the saved
+# raw output).
+# ---------------------------------------------------------------------------
+
+
+def _stack_linear(t, f, tile_m, n_fin, precise, xs, acc_in, w_stack, bias,
+                  scale, mean):
+    """(z_fin [B, n_fin, Wx] f32, acc_out [B, N-n_fin, Wx]) of the stacked
+    call as plain XLA ops in the flat framing."""
+    from misonet_tpu.ops.pallas.flat_grad import _conv_dtype
+    from misonet_tpu.ops.pallas.conv_flat import flatten_tf, unflatten_tf
+
+    cdt = _conv_dtype(precise)
+    adt = jnp.float32 if precise else jnp.bfloat16
+    xcat = jnp.concatenate([x.astype(jnp.float32) for x in xs], axis=1)
+    xn = (xcat - mean[:, :, None]) * scale[:, :, None]
+    x_nhwc = unflatten_tf(xn, t, f, tile_m)
+    z = jax.lax.conv_general_dilated(
+        x_nhwc.astype(cdt),
+        w_stack.astype(cdt),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # bias is added in NHWC, before flatten_tf: the flatten's VJP *slices*,
+    # so gap/pad-column cotangents (which carry the spurious constant
+    # stats term) are dropped before they can reach the bias gradient
+    z32 = z.astype(jnp.float32)
+    z_fin = flatten_tf(z32[..., :n_fin] + bias.astype(jnp.float32), tile_m)
+    acc_out = flatten_tf(z32[..., n_fin:], tile_m)
+    if acc_in is not None:
+        acc32 = acc_in.astype(jnp.float32)
+        z_fin = z_fin + acc32[:, :n_fin]
+        acc_out = acc_out + acc32[:, n_fin:]
+    return z_fin, acc_out.astype(adt)
+
+
+@functools.lru_cache(maxsize=None)
+def _stack_ad(t, f, tile_m, n_fin, precise, have_acc):
+    def kernel_fn(*args):
+        if have_acc:
+            xs, acc_in, w_stack, bias, scale, mean = args
+        else:
+            xs, w_stack, bias, scale, mean = args
+            acc_in = None
+        y, s, q, acc_out = dense_stack_flat(
+            xs, acc_in, w_stack, bias, scale, mean,
+            t=t, f=f, n_fin=n_fin, tile_m=tile_m, precise=precise,
+        )
+        if acc_out is None:
+            return y, s, q
+        return y, s, q, acc_out
+
+    def linear_fn(*args):
+        if have_acc:
+            xs, acc_in, w_stack, bias, scale, mean = args
+        else:
+            xs, w_stack, bias, scale, mean = args
+            acc_in = None
+        z_fin, acc_out = _stack_linear(
+            t, f, tile_m, n_fin, precise, xs, acc_in, w_stack, bias,
+            scale, mean,
+        )
+        if acc_out.shape[1] == 0:
+            return (z_fin,)
+        return z_fin, acc_out
+
+    @jax.custom_vjp
+    def fn(*args):
+        return kernel_fn(*args)
+
+    def fwd(*args):
+        out = kernel_fn(*args)
+        return out, (args, out[0])
+
+    def bwd(res, cts):
+        args, y = res
+        ybar, sbar, qbar = cts[:3]
+        y32 = y.astype(jnp.float32)
+        g_y = ybar.astype(jnp.float32) + sbar + 2.0 * y32 * qbar
+        # elu'(z) = 1 for z > 0, e^z = y + 1 otherwise
+        g_z = g_y * jnp.where(y32 > 0, 1.0, y32 + 1.0)
+        lin_cts = (g_z,) if len(cts) == 3 else (g_z, cts[3])
+        _, vjp = jax.vjp(linear_fn, *args)
+        return vjp(lin_cts)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def dense_stack_flat_ad(xs, acc_in, w_stack, bias, scale, mean, *, t, f,
+                        n_fin, tile_m=2048, precise=False):
+    """Differentiable dense_stack_flat.  Returns (y, sums, sqs, acc_out)
+    with acc_out None on the last call."""
+    if not isinstance(xs, (tuple, list)):
+        xs = (xs,)
+    have_acc = acc_in is not None
+    fn = _stack_ad(t, f, tile_m, n_fin, precise, have_acc)
+    args = (tuple(xs), acc_in, w_stack, bias, scale, mean) if have_acc else (
+        tuple(xs), w_stack, bias, scale, mean)
+    out = fn(*args)
+    if len(out) == 3:
+        return out[0], out[1], out[2], None
+    return out
+
+
+def dense_block_stacked(tensors, scales, means, kernels, biases, *, t, f,
+                        tile_m, precise=False):
+    """Full 5-layer DenseBlock via stacked calls.
+
+    tensors: tuple of raw flat source tensors (the block input bundle);
+    kernels[i] [3, 3, init_ch + i*g1, w_i], biases[i] [w_i].  Returns the
+    5th layer's (y_raw, sums, sqs) — the flat-bundle contract.
+    """
+    init_ch = sum(x.shape[1] for x in tensors)
+    widths = [k.shape[-1] for k in kernels]
+    acc = None
+    src = tuple(tensors)
+    src_scale, src_mean = scales, means
+    off = 0  # channel offset of the current source inside layer inputs
+    for s in range(5):
+        cw = sum(x.shape[1] for x in src)
+        w_stack = jnp.concatenate(
+            [kernels[i][:, :, off : off + cw, :] for i in range(s, 5)],
+            axis=-1,
+        )
+        y, su, sq, acc = dense_stack_flat_ad(
+            src, acc, w_stack, biases[s], src_scale, src_mean,
+            t=t, f=f, n_fin=widths[s], tile_m=tile_m, precise=precise,
+        )
+        if s == 4:
+            return y, su, sq
+        from misonet_tpu.ops.pallas.dense_flat import stats_to_scale_mean
+
+        sc, mn = stats_to_scale_mean(su, sq, t * f)
+        # source s+1 (= y_s) sits at channel offset init_ch + s*g1 inside
+        # the consuming layers' concatenated inputs
+        off = init_ch + s * widths[0]
+        src = (y,)
+        src_scale, src_mean = sc, mn
