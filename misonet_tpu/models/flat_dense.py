@@ -295,12 +295,12 @@ class TrunkDownFlat(nn.Module):
                  tile_out: int, precise: bool = False):
         (x,), scale, mean = as_bundle(bundle)
         kernel, bias = _ConvParams(self.features, x.shape[1], name="Conv_0")()
+        f_out = (f_in - 3) // 2 + 1
         xe, xo = s2d_flat(x, t, f_in, tile_in, tile_out)
         y, su, sq = conv_down_flat_ad(
             xe, xo, kernel, bias, scale, mean,
             t=t, f_in=f_in, tile_m=tile_out, precise=precise,
         )
-        f_out = (f_in - 3) // 2 + 1
         sc, mn = stats_to_scale_mean(su, sq, t * f_out)
         return (y,), sc, mn
 

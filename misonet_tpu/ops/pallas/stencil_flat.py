@@ -60,7 +60,8 @@ def _shift_piece(src, s, tile_m, slack):
 
 
 def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
-            fp, m_out, mask_f, slack, fuse_elu, want_stats, pdt, *refs):
+            fp, m_out, mask_f, slack, fuse_elu, want_stats, pdt,
+            src_offs, *refs):
     nt = len(widths)
     n_out = sum(r for r, _ in out_blocks)
     x_hbms, rest = refs[:nt], refs[nt:]
@@ -84,7 +85,9 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
 
     def dma(ti, slot, tile):
         return pltpu.make_async_copy(
-            x_hbms[ti].at[bb, :, pl.ds(tile * tile_m + tile_m - slack, w_win)],
+            x_hbms[ti].at[
+                bb, :, pl.ds(tile * tile_m + src_offs[ti] - slack, w_win)
+            ],
             wins[ti].at[slot],
             sems.at[ti, slot],
         )
@@ -145,7 +148,8 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
         base = 0
         for ti, (width, stride, tp) in enumerate(zip(widths, strides, taps)):
             win = wins[ti][mm % 2]
-            ch = win[:, :].astype(jnp.float32) * scale_ref[0, off : off + width, :]
+            sc = scale_ref[0, off : off + width, :]
+            ch = win[:, :].astype(jnp.float32) * sc
             for j, s in enumerate(tp):
                 piece = _shift_piece(ch, s, tile_m, slack)
                 p_ref[base + j * stride : base + j * stride + width, :] = (
@@ -196,7 +200,7 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
     jax.jit,
     static_argnames=(
         "t", "f_out", "taps", "mask_shifts", "out_blocks", "mask_f",
-        "tile_m", "fuse_elu", "want_stats", "precise",
+        "tile_m", "fuse_elu", "want_stats", "precise", "src_offs",
     ),
 )
 def stencil_layer_flat(
@@ -207,7 +211,7 @@ def stencil_layer_flat(
     *,
     t: int,
     f_out: int,
-    taps: tuple[tuple[int, ...], ...],
+    taps: tuple[tuple, ...],
     mask_shifts: tuple[int, ...],
     out_blocks: tuple[tuple[int, int], ...],
     mask_f: int,
@@ -215,23 +219,32 @@ def stencil_layer_flat(
     fuse_elu: bool = True,
     want_stats: bool = True,
     precise: bool = False,
+    src_offs: tuple[int, ...] | None = None,
 ):
     """One generalized stencil layer over flat tensors; returns
-    (y [B, n_out, Wx], sums, sqs [B, n_out, 1])."""
+    (y [B, n_out, Wx], sums, sqs [B, n_out, 1]).
+
+    ``src_offs[ti]`` overrides the window DMA base offset (for tensors
+    framed with a different pad-block width than this layer's tile)."""
     xs = tuple(xs)
     widths = [int(x.shape[1]) for x in xs]
     c_tot = sum(widths)
     b = xs[0].shape[0]
-    x_width = xs[0].shape[2]
     n_out = sum(r for r, _ in out_blocks)
     fp, m_out, n_m, xw = _flat_geometry(t, f_out, tile_m)
-    assert x_width == xw, (xs[0].shape, xw)
-    assert all(x.shape[2] == xw and x.shape[0] == b for x in xs)
+    assert all(x.shape[0] == b for x in xs)
     assert n_out % MASK_ROWS == 0, n_out
     assert fp & (fp - 1) == 0, f"fp={fp} must be a power of two"
     slack = slack_for(fp)
     assert slack <= tile_m and slack % 128 == 0, (slack, tile_m)
+    if src_offs is None:
+        src_offs = (tile_m,) * len(xs)
     assert all(abs(s) <= slack for tp in taps for s in tp)
+    for x, so in zip(xs, src_offs):
+        # window DMA bounds: [mm*tile + so - slack, (mm+1)*tile + so + slack)
+        assert so >= slack, (so, slack)
+        assert n_m * tile_m + so + slack <= x.shape[2], (
+            x.shape, n_m, tile_m, so, slack)
     pdt = jnp.float32 if precise else jnp.bfloat16
     q = 8 if precise else 16
     strides = [_round_up(w, q) for w in widths]
@@ -245,9 +258,9 @@ def stencil_layer_flat(
     kern = functools.partial(
         _kernel, tuple(widths), tuple(strides), taps, mask_shifts,
         out_blocks, n_m, tile_m, fp, m_out, mask_f, slack,
-        fuse_elu, want_stats, pdt,
+        fuse_elu, want_stats, pdt, tuple(src_offs),
     )
-    out_shape = [jax.ShapeDtypeStruct((b, n_out, x_width), pdt)]
+    out_shape = [jax.ShapeDtypeStruct((b, n_out, xw), pdt)]
     out_specs = [
         pl.BlockSpec((1, n_out, tile_m), lambda bb, m: (bb, 0, m),
                      memory_space=pltpu.VMEM)
