@@ -36,6 +36,8 @@ from misonet_tpu.ops.pallas.flat_grad import (
     conv_down_flat_ad,
     dense_layer_flat_ad,
     deconv_up_flat_ad,
+    enc0_down_flat_ad,
+    final_deconv_flat_ad,
 )
 from misonet_tpu.ops.pallas.stencil_flat import (
     interleave_up,
@@ -325,3 +327,57 @@ class DeconvUpFlat(nn.Module):
         )
         y, sc, mn = interleave_up(y2, su, sq, t, f_in, tile_in, tile_out)
         return (y,), sc, mn
+
+
+class Enc0Flat(nn.Module):
+    """Encoder block 0's trunk conv (3x3, stride 1, freq-VALID 129 -> 127,
+    no ELU/IN — reference init_Conv2d_, model.py:401-406) computed straight
+    from the channel-major complex-stacked input into the flat framing —
+    no NHWC transpose, no layout pass (stencil_flat.enc0_down_flat).
+    Param tree matches ConvBlock: <name>/Conv_0/{kernel,bias}."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x_cm, *, t: int, tile_m: int, precise: bool = False):
+        kernel, bias = _ConvParams(
+            self.features, x_cm.shape[1], name="Conv_0"
+        )()
+        y = enc0_down_flat_ad(
+            x_cm, kernel, bias, t=t, tile_m=tile_m, precise=precise
+        )
+        b = x_cm.shape[0]
+        # bare conv: the consumer sees it unnormalized (identity stats)
+        return (
+            (y,),
+            jnp.ones((b, self.features), jnp.float32),
+            jnp.zeros((b, self.features), jnp.float32),
+        )
+
+
+class FinalDeconvFlat(nn.Module):
+    """The decoder's final bare ConvTranspose (torch geometry, 127 -> 129
+    bins — reference last_Deconv2d_, model.py:418-423) on flat bundles.
+    Params ``kernel``/``bias`` directly on this module, matching the XLA
+    path's bare ConvTranspose2dTorch named the same way.  Returns
+    (bins 0..127 flat [B, N, Wx], bin 128 [B, N, T])."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, bundle, *, t: int, f: int, tile_m: int,
+                 precise: bool = False):
+        (x,), scale, mean = as_bundle(bundle)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return final_deconv_flat_ad(
+            x, kernel, bias, scale, mean,
+            t=t, f=f, tile_m=tile_m, precise=precise,
+        )

@@ -41,6 +41,8 @@ from misonet_tpu.models.blocks import (
 from misonet_tpu.models.flat_dense import (
     DeconvUpFlat,
     DenseBlockFlat,
+    Enc0Flat,
+    FinalDeconvFlat,
     TrunkDownFlat,
     from_flat_bundle,
     merge_bundles,
@@ -76,26 +78,42 @@ class MISONet(nn.Module):
         de = list(self.cfg.de_channels) + [2 * self.num_spks]
         assert len(en) == nb and len(de) == nb + 1
 
-        # Complex -> stacked real channels, NCHW -> NHWC.
-        x = jnp.concatenate([mixture.real, mixture.imag], axis=1)
-        x = x.transpose(0, 2, 3, 1).astype(dtype)  # [B, T, F, 2*C_in]
+        # Complex -> stacked real channels (channel-major, like the input).
+        x_cm = jnp.concatenate([mixture.real, mixture.imag], axis=1)
 
         # --- encoder ---------------------------------------------------
         # Flat path: levels 0-4 stay in the lane-flattened bundle form end
-        # to end — trunk conv (fused s2d stencil kernel), DenseBlock, and
-        # skip hand-off all operate on raw tensors + IN statistics, with
-        # no NHWC materialization between enc0 and enc5.
+        # to end — enc0's trunk conv reads the channel-major input
+        # directly (no NHWC transpose at all), the strided trunk convs,
+        # DenseBlocks, and skip hand-offs all operate on raw tensors + IN
+        # statistics, with no NHWC materialization between the input and
+        # enc5.
         flat = resolve_flat(
             self.cfg.flat_dense,
             num_bins=mixture.shape[3], nb=nb, en=en, de_full=de,
         )
         precise = self.cfg.compute_dtype == "float32"
         fdt = jnp.float32 if precise else jnp.bfloat16
+        if not flat:
+            x = x_cm.transpose(0, 2, 3, 1).astype(dtype)  # [B, T, F, 2C]
         skips = []       # NHWC arrays, or (bundle, f, tile) on the flat path
         bundle = None
         tc = fc = tile = None
         for i in range(nb):
             freq_stride = 1 if i in (0, nb - 1) else 2
+            if flat and i == 0:
+                tc, fc = x_cm.shape[2], mixture.shape[3] - 2
+                tile = pick_tile_m(tc, fc, en[0], en[0], en[0])
+                # enc0's trunk has no ELU/IN (reference init_Conv2d_,
+                # model.py:401-406): consumed as-is -> identity stats
+                bundle = Enc0Flat(en[0], name="enc0")(
+                    x_cm, t=tc, tile_m=tile, precise=precise
+                )
+                bundle = DenseBlockFlat(
+                    en[0], en[0], name="enc0_dense"
+                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
+                skips.append((bundle, fc, tile))
+                continue
             if flat and 1 <= i <= 4:
                 f_out = (fc - 3) // 2 + 1
                 tile_out = pick_tile_m(tc, f_out, en[i], en[i], en[i])
@@ -119,19 +137,6 @@ class MISONet(nn.Module):
                 name=f"enc{i}",
             )(x)
             if i < 5:
-                if flat:  # i == 0
-                    tc, fc = x.shape[1], x.shape[2]
-                    tile = pick_tile_m(tc, fc, en[i], en[i], en[i])
-                    # enc0's trunk has no ELU/IN (reference init_Conv2d_,
-                    # model.py:401-406): consume as-is -> identity stats
-                    bundle = to_flat_bundle(
-                        x, normalized=True, tile_m=tile, dtype=fdt
-                    )
-                    bundle = DenseBlockFlat(
-                        en[i], en[i], name=f"enc{i}_dense"
-                    )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
-                    skips.append((bundle, fc, tile))
-                    continue
                 x = DenseBlock(
                     en[i], en[i], dtype=dtype, name=f"enc{i}_dense"
                 )(x)
@@ -187,14 +192,27 @@ class MISONet(nn.Module):
                     cin // 2, cin, name=f"dec{i}_dense"
                 )(merged, t=tc, f=fc, tile_m=tile, precise=precise)
                 if i == nb - 1:
-                    x = from_flat_bundle(bundle, tc, fc, dtype, tile_m=tile)
-                else:
-                    tile_next = skips[nb - 2 - i][2]
-                    bundle = DeconvUpFlat(de[i + 1], name=f"dec{i}")(
-                        bundle, t=tc, f_in=fc, tile_in=tile,
-                        tile_out=tile_next, precise=precise,
+                    # final bare transpose conv fused on the flat layout;
+                    # output assembled channel-major directly (no NHWC)
+                    y, y128 = FinalDeconvFlat(de[i + 1], name=f"dec{i}")(
+                        bundle, t=tc, f=fc, tile_m=tile, precise=precise
                     )
-                    continue
+                    b = y.shape[0]
+                    main = y[:, :, tile : tile + tc * (fc + 1)].reshape(
+                        b, de[i + 1], tc, fc + 1
+                    ).astype(jnp.float32)
+                    out = jnp.concatenate(
+                        [main, y128.astype(jnp.float32)[:, :, :, None]],
+                        axis=3,
+                    )  # [B, 2*num_spks, T, 129]
+                    real, imag = jnp.split(out, 2, axis=1)
+                    return jax.lax.complex(real, imag)
+                tile_next = skips[nb - 2 - i][2]
+                bundle = DeconvUpFlat(de[i + 1], name=f"dec{i}")(
+                    bundle, t=tc, f_in=fc, tile_in=tile,
+                    tile_out=tile_next, precise=precise,
+                )
+                continue
             elif i >= 2:
                 x = jnp.concatenate([x, skip], axis=-1)
                 cin = x.shape[-1]

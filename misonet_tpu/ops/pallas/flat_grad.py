@@ -256,6 +256,118 @@ def _deconv_up_ad(t, f_in, tile_m, fuse_elu, precise):
     return _make_ad(kernel, lin, fuse_elu)
 
 
+def _enc0_linear(t, tile_m, precise, x_cm, w, bias):
+    """Twin of enc0_down_flat: NHWC freq-VALID stride-1 conv + bias from
+    the channel-major [B, C, T, 129] input, emitted in the F=127 framing."""
+    cdt = _conv_dtype(precise)
+    x_nhwc = x_cm.transpose(0, 2, 3, 1).astype(jnp.float32)
+    z = lax.conv_general_dilated(
+        x_nhwc.astype(cdt),
+        w.astype(cdt),
+        window_strides=(1, 1),
+        padding=((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return flatten_tf(z.astype(jnp.float32) + bias.astype(jnp.float32),
+                      tile_m)
+
+
+@functools.lru_cache(maxsize=None)
+def _enc0_ad(t, tile_m, precise):
+    from misonet_tpu.ops.pallas.stencil_flat import enc0_down_flat
+
+    def kernel(x_cm, w, bias):
+        return enc0_down_flat(
+            x_cm, w, bias, t=t, tile_m=tile_m, precise=precise
+        )
+
+    lin = functools.partial(_enc0_linear, t, tile_m, precise)
+
+    @jax.custom_vjp
+    def fn(x_cm, w, bias):
+        return kernel(x_cm, w, bias)
+
+    def fwd(x_cm, w, bias):
+        return kernel(x_cm, w, bias), (x_cm, w, bias)
+
+    def bwd(res, ybar):
+        # bare conv: no ELU, no fused stats — the cotangent passes straight
+        # into the linear twin's VJP (gap/pad columns drop at the flatten)
+        _, vjp = jax.vjp(lin, *res)
+        return vjp(ybar.astype(jnp.float32))
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def enc0_down_flat_ad(x_cm, w, bias, *, t, tile_m, precise=False):
+    """Differentiable enc0_down_flat."""
+    return _enc0_ad(t, tile_m, precise)(x_cm, w, bias)
+
+
+def _final_linear(t, f, tile_m, precise, x, w, bias, scale, mean):
+    """Twin of final_deconv_flat's kernel part: normalize, torch-geometry
+    stride-(1,1) ConvTranspose (= conv with flipped kernel, freq pad 2),
+    bins 0..fp-1 emitted across the full fp columns of the F framing
+    (every column is a valid output for this layer)."""
+    cdt = _conv_dtype(precise)
+    b, c, _ = x.shape
+    n = w.shape[-1]
+    fp, m_out, _, xw = _flat_geometry(t, f, tile_m)
+    x_nhwc = unflatten_tf(x.astype(jnp.float32), t, f, tile_m)
+    xn = (x_nhwc - mean[:, None, None, :]) * scale[:, None, None, :]
+    z = lax.conv_general_dilated(
+        xn.astype(cdt),
+        jnp.flip(w.astype(cdt), (0, 1)),
+        window_strides=(1, 1),
+        padding=((1, 1), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, T, F+2, N]
+    za = z[:, :, :fp, :].astype(jnp.float32) + bias.astype(jnp.float32)
+    za = za.transpose(0, 3, 1, 2).reshape(b, n, t * fp)
+    return jnp.pad(za, ((0, 0), (0, 0), (tile_m, xw - tile_m - t * fp)))
+
+
+@functools.lru_cache(maxsize=None)
+def _final_ad(t, f, tile_m, precise):
+    from misonet_tpu.ops.pallas.stencil_flat import final_deconv_flat
+
+    def kernel(x, w, bias, scale, mean):
+        return final_deconv_flat(
+            x, w, bias, scale, mean, t=t, f=f, tile_m=tile_m,
+            precise=precise,
+        )
+
+    lin = functools.partial(_final_linear, t, f, tile_m, precise)
+
+    @jax.custom_vjp
+    def fn(x, w, bias, scale, mean):
+        return kernel(x, w, bias, scale, mean)
+
+    def fwd(*args):
+        return kernel(*args), args
+
+    def bwd(res, ybar):
+        # bare transpose conv: no ELU, no fused stats
+        _, vjp = jax.vjp(lin, *res)
+        return vjp(ybar.astype(jnp.float32))
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def final_deconv_flat_ad(x, w, bias, scale, mean, *, t, f, tile_m,
+                         precise=False):
+    """Differentiable final transpose conv: (bins 0..fp-1 flat [B, N, Wx],
+    bin fp [B, N, T]).  The last-bin branch is plain XLA and
+    differentiates natively."""
+    from misonet_tpu.ops.pallas.stencil_flat import final_bin128
+
+    y = _final_ad(t, f, tile_m, precise)(x, w, bias, scale, mean)
+    y128 = final_bin128(x, w, bias, scale, mean, t=t, f=f, tile_m=tile_m)
+    return y, y128
+
+
 def dense_layer_flat_ad(xs, w, bias, scale, mean, *, t, f, tile_m=2048,
                         fuse_elu=True, precise=False):
     """Differentiable dense_layer_flat (want_stats always on)."""

@@ -61,7 +61,7 @@ def _shift_piece(src, s, tile_m, slack):
 
 def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
             fp, m_out, mask_f, slack, fuse_elu, want_stats, pdt,
-            src_offs, *refs):
+            src_offs, tap_gates, omask_taps, *refs):
     nt = len(widths)
     n_out = sum(r for r, _ in out_blocks)
     x_hbms, rest = refs[:nt], refs[nt:]
@@ -119,20 +119,42 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
             for ti in range(nt):
                 dma(ti, 1, nxt).start()
 
-        # validity windows from iota (fp is a power of two)
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (MASK_ROWS, w_win), 1)
-            + (mm * tile_m - slack)
-        )
-        in_bounds = (cols >= 0) & (cols < m_out)
-        mwin = (((cols & (fp - 1)) < mask_f) & in_bounds).astype(jnp.float32)
-
         base = sum(len(tp) * s for tp, s in zip(taps, strides))
-        for j, s in enumerate(mask_shifts):
-            piece = _shift_piece(mwin, s, tile_m, slack)
-            p_ref[base + 16 * j : base + 16 * j + MASK_ROWS, :] = (
-                piece.astype(pdt)
+        if omask_taps:
+            # output-relative validity: tap (row_shift, lo, hi) is valid
+            # where lo <= f(col) < hi (frequency, in the OUTPUT row) and
+            # the read row t + row_shift exists — used by stencils whose
+            # taps cross the frequency gap (the final transpose conv)
+            cols0m = (
+                jax.lax.broadcasted_iota(jnp.int32, (MASK_ROWS, tile_m), 1)
+                + mm * tile_m
             )
+            fcol0 = cols0m & (fp - 1)
+            for j, (rs, lo, hi) in enumerate(omask_taps):
+                colr = cols0m + rs * fp
+                piece = (
+                    (fcol0 >= lo) & (fcol0 < hi)
+                    & (colr >= 0) & (colr < m_out)
+                ).astype(jnp.float32)
+                p_ref[base + 16 * j : base + 16 * j + MASK_ROWS, :] = (
+                    piece.astype(pdt)
+                )
+        else:
+            # validity windows from iota (fp is a power of two)
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (MASK_ROWS, w_win), 1)
+                + (mm * tile_m - slack)
+            )
+            in_bounds = (cols >= 0) & (cols < m_out)
+            mwin = (
+                ((cols & (fp - 1)) < mask_f) & in_bounds
+            ).astype(jnp.float32)
+
+            for j, s in enumerate(mask_shifts):
+                piece = _shift_piece(mwin, s, tile_m, slack)
+                p_ref[base + 16 * j : base + 16 * j + MASK_ROWS, :] = (
+                    piece.astype(pdt)
+                )
 
         @pl.when(mm % 2 == 0)
         def _():
@@ -150,8 +172,21 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
             win = wins[ti][mm % 2]
             sc = scale_ref[0, off : off + width, :]
             ch = win[:, :].astype(jnp.float32) * sc
+            gates = tap_gates[ti] if tap_gates is not None else (None,) * len(tp)
             for j, s in enumerate(tp):
                 piece = _shift_piece(ch, s, tile_m, slack)
+                if gates[j] is not None:
+                    # zero taps whose read crosses a row boundary into real
+                    # data of the neighboring frequency row
+                    lo, hi = gates[j]
+                    fcg = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (width, tile_m), 1
+                        ) + mm * tile_m
+                    ) & (fp - 1)
+                    piece = piece * ((fcg >= lo) & (fcg < hi)).astype(
+                        jnp.float32
+                    )
                 p_ref[base + j * stride : base + j * stride + width, :] = (
                     piece.astype(pdt)
                 )
@@ -201,6 +236,7 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
     static_argnames=(
         "t", "f_out", "taps", "mask_shifts", "out_blocks", "mask_f",
         "tile_m", "fuse_elu", "want_stats", "precise", "src_offs",
+        "tap_gates", "omask_taps",
     ),
 )
 def stencil_layer_flat(
@@ -220,12 +256,20 @@ def stencil_layer_flat(
     want_stats: bool = True,
     precise: bool = False,
     src_offs: tuple[int, ...] | None = None,
+    tap_gates: tuple | None = None,
+    omask_taps: tuple | None = None,
 ):
     """One generalized stencil layer over flat tensors; returns
     (y [B, n_out, Wx], sums, sqs [B, n_out, 1]).
 
     ``src_offs[ti]`` overrides the window DMA base offset (for tensors
-    framed with a different pad-block width than this layer's tile)."""
+    framed with a different pad-block width than this layer's tile).
+    ``tap_gates[ti][j]`` optionally restricts tap j of tensor ti to output
+    frequencies in [lo, hi) — required when a tap's lane shift would cross
+    the frequency gap into the neighboring row's real data.  ``omask_taps``
+    replaces the window-shifted mean-correction masks with output-relative
+    (row_shift, lo, hi) validity fields, for stencils whose tap validity
+    is not expressible as a shifted copy of the input validity."""
     xs = tuple(xs)
     widths = [int(x.shape[1]) for x in xs]
     c_tot = sum(widths)
@@ -249,8 +293,11 @@ def stencil_layer_flat(
     q = 8 if precise else 16
     strides = [_round_up(w, q) for w in widths]
     k_total = sum(len(tp) * s for tp, s in zip(taps, strides))
-    k_total += 16 * len(mask_shifts)
+    k_total += 16 * (len(omask_taps) if omask_taps else len(mask_shifts))
     assert wb.shape == (b, n_out, k_total), (wb.shape, (b, n_out, k_total))
+    if tap_gates is not None:
+        assert len(tap_gates) == len(xs)
+        assert all(len(g) == len(tp) for g, tp in zip(tap_gates, taps))
 
     scale3 = scale[:, :, None]
     bias2 = bias.reshape(n_out, 1).astype(jnp.float32)
@@ -258,7 +305,7 @@ def stencil_layer_flat(
     kern = functools.partial(
         _kernel, tuple(widths), tuple(strides), taps, mask_shifts,
         out_blocks, n_m, tile_m, fp, m_out, mask_f, slack,
-        fuse_elu, want_stats, pdt, tuple(src_offs),
+        fuse_elu, want_stats, pdt, tuple(src_offs), tap_gates, omask_taps,
     )
     out_shape = [jax.ShapeDtypeStruct((b, n_out, xw), pdt)]
     out_specs = [
@@ -483,6 +530,201 @@ def deconv_up_flat(
         fuse_elu=fuse_elu,
         precise=precise,
     )
+
+
+def enc0_slices(x_cm: jnp.ndarray, t: int, f_out: int, tile_m: int, dtype):
+    """Channel-major input [B, C, T, F = fp+1] -> the two flat slice
+    tensors the enc0 kernel taps (no NHWC transpose, no gather):
+
+      xa[t, m] = x[t, m]      (m in [0, fp); col fp-1 only feeds masked
+                               outputs, so the non-zero gap is harmless)
+      xb[t, m] = x[t, m + 1]  (a full fp-wide row with NO gap: the df=2
+                               tap of output fo = f_out-1 reads
+                               xb[fp-1] = x[fp])
+
+    Channels are zero-padded to a multiple of 8 (the window-slice sublane
+    tiling); both outputs are contiguous slices + reshape + pad — no lane
+    shuffling."""
+    b, c, t_in, f_in = x_cm.shape
+    c_pad = _round_up(c, 8)
+    fp, m_out, n_m, xw = _flat_geometry(t, f_out, tile_m)
+    assert f_in == fp + 1 and t_in == t, (x_cm.shape, t, fp)
+
+    def frame(v):
+        v = v.reshape(b, c, t * fp).astype(dtype)
+        return jnp.pad(
+            v, ((0, 0), (0, c_pad - c), (tile_m, xw - tile_m - t * fp))
+        )
+
+    return frame(x_cm[:, :, :, 0:fp]), frame(x_cm[:, :, :, 1 : fp + 1])
+
+
+def enc0_down_flat(
+    x_cm: jnp.ndarray,     # [B, C, T, fp+1] real channel-major input
+    w: jnp.ndarray,        # [3, 3, C, N] HWIO
+    bias: jnp.ndarray,     # [N]
+    *,
+    t: int,
+    tile_m: int,
+    precise: bool = False,
+):
+    """The encoder's first conv (3x3, stride 1, frequency-VALID F -> F-2,
+    time SAME, bias, NO activation/norm — reference init_Conv2d_,
+    model.py:401-406) computed directly into the flat F-2 framing.
+
+    Output position (t', fo) reads x[t'+dt-1, fo+df]: df=0 comes from the
+    xa slice at lane shift 0, df in {1, 2} from the xb slice at shifts
+    {0, +1} — all constant shifts, so the unpadded F-bin input needs no
+    layout pass at all.  The input is raw (identity normalization), so
+    there is no mean-correction block.  Returns y [B, N, Wx] raw with NO
+    statistics (the consumer treats it as already normalized, like the
+    reference feeds this conv's output straight into the DenseBlock)."""
+    b, c, _, f_in_full = x_cm.shape
+    n = w.shape[-1]
+    f_out = f_in_full - 2
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    xa, xb = enc0_slices(x_cm, t, f_out, tile_m, pdt)
+    c = xa.shape[1]  # channels 8-padded by enc0_slices (zero weight rows)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, c - w.shape[2]), (0, 0)))
+
+    fp, _, _, _ = _flat_geometry(t, f_out, tile_m)
+    q = 8 if precise else 16
+    stride = _round_up(c, q)
+    taps_a = tuple((dt - 1) * fp for dt in range(3))
+    taps_b = tuple((dt - 1) * fp + d for dt in range(3) for d in (0, 1))
+
+    w32 = w.astype(jnp.float32)
+    blocks_a = [
+        jnp.pad(w32[dt, 0].T, ((0, 0), (0, stride - c))) for dt in range(3)
+    ]
+    blocks_b = [
+        jnp.pad(w32[dt, df].T, ((0, 0), (0, stride - c)))
+        for dt in range(3)
+        for df in (1, 2)
+    ]
+    w_main = jnp.concatenate(blocks_a + blocks_b, axis=1)   # [N, 9*stride]
+    wb = jnp.broadcast_to(w_main, (b,) + w_main.shape).astype(pdt)
+
+    ones = jnp.ones((b, 2 * c), jnp.float32)
+    (y,) = stencil_layer_flat(
+        (xa, xb), wb, bias, ones,
+        t=t, f_out=f_out,
+        taps=(taps_a, taps_b),
+        mask_shifts=(),
+        out_blocks=((n, f_out),),
+        mask_f=f_out,
+        tile_m=tile_m,
+        fuse_elu=False,
+        want_stats=False,
+        precise=precise,
+    )
+    return y
+
+
+def final_deconv_flat(
+    x: jnp.ndarray,        # [B, C, Wx] raw flat, F=127 framing
+    w: jnp.ndarray,        # [3, 3, C, N] (ConvTranspose2dTorch 'kernel')
+    bias: jnp.ndarray,     # [N]
+    scale: jnp.ndarray,    # f32 [B, C] 1/sigma of the input
+    mean: jnp.ndarray,     # f32 [B, C]
+    *,
+    t: int,
+    f: int,
+    tile_m: int,
+    precise: bool = False,
+):
+    """The decoder's final 3x3 stride-(1,1) ConvTranspose (torch geometry,
+    F -> F+2 bins, bare — reference last_Deconv2d_, model.py:418-423),
+    fused with the input normalization, on the flat layout.
+
+    As a conv: out[t', fo] = sum wf[dt, df] xn[t'+dt-1, fo+df-2] with
+    wf = flip(w) — taps at lane shifts (dt-1)*fp + (df-2).  The df=0 tap
+    crosses the frequency gap into the previous row's real data at fo<2,
+    so taps are gated to the valid output range [2-df, F+2-df) and the
+    mean correction uses output-relative masks.  The kernel emits output
+    bins 0..fp-1 (all fp columns of the F framing are VALID outputs here)
+    as y [B, N, Wx]; bin fp depends on input bin F-1 only and is computed
+    by :func:`final_bin128` as a tiny XLA einsum."""
+    b, c, _ = x.shape
+    n = w.shape[-1]
+    fp, m_out, _, _ = _flat_geometry(t, f, tile_m)
+    assert fp == f + 1, (fp, f)
+    n_pad = _round_up(n, MASK_ROWS)
+    q = 8 if precise else 16
+    stride = _round_up(c, q)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+
+    taps = tuple(
+        (dt - 1) * fp + (df - 2) for dt in range(3) for df in range(3)
+    )
+    gates = tuple(
+        (2 - df if df < 2 else 0, f if df == 2 else fp)
+        for dt in range(3)
+        for df in range(3)
+    )
+    omask = tuple(
+        (dt - 1, lo, hi)
+        for dt in range(3)
+        for (lo, hi) in [gates[3 * dt], gates[3 * dt + 1], gates[3 * dt + 2]]
+    )
+
+    w32 = w.astype(jnp.float32)
+
+    def wf(dt, df):  # flipped kernel, rows padded to n_pad
+        blk = w32[2 - dt, 2 - df].T                     # [N, C]
+        blk = jnp.pad(blk, ((0, n_pad - n), (0, stride - c)))
+        return blk
+
+    w_main = jnp.concatenate(
+        [wf(dt, df) for dt in range(3) for df in range(3)], axis=1
+    )
+    w_main = jnp.broadcast_to(w_main, (b,) + w_main.shape)
+
+    mu_sc = (mean * scale).astype(jnp.float32)
+    beta = jnp.stack(
+        [-jnp.einsum("cn,bc->bn", w32[2 - dt, 2 - df], mu_sc)
+         for dt in range(3) for df in range(3)], axis=2,
+    )  # [B, N, 9]
+    beta = jnp.pad(beta, ((0, 0), (0, n_pad - n), (0, 0)))
+    beta = jnp.repeat(beta, MASK_ROWS, axis=2) / MASK_ROWS
+    beta = beta.reshape(b, n_pad, 9, MASK_ROWS)
+    beta = jnp.pad(beta, ((0, 0), (0, 0), (0, 0), (0, 16 - MASK_ROWS)))
+    wb = jnp.concatenate(
+        [w_main, beta.reshape(b, n_pad, 144)], axis=2
+    ).astype(pdt)
+
+    bias_pad = jnp.pad(bias.astype(jnp.float32), (0, n_pad - n))
+    (y,) = stencil_layer_flat(
+        (x,), wb, bias_pad, scale,
+        t=t, f_out=f,
+        taps=(taps,),
+        mask_shifts=(),
+        out_blocks=((n_pad, fp),),
+        mask_f=127,
+        tile_m=tile_m,
+        fuse_elu=False,
+        want_stats=False,
+        precise=precise,
+        tap_gates=(gates,),
+        omask_taps=omask,
+    )
+    return y[:, :n]
+
+
+def final_bin128(x, w, bias, scale, mean, *, t, f, tile_m):
+    """The final transpose conv's last output bin (index fp = F+1): it
+    depends on input bin F-1 only — out[t', fp] = sum_dt
+    wf[dt, 0] . xn[t'+dt-1, F-1] + bias.  Plain XLA (tiny strided gather
+    + einsum), returns [B, N, T]."""
+    fp, m_out, _, _ = _flat_geometry(t, f, tile_m)
+    w32 = w.astype(jnp.float32)
+    x126 = x[:, :, tile_m + f - 1 : tile_m + m_out : fp].astype(jnp.float32)
+    xn126 = (x126 - mean[:, :, None]) * scale[:, :, None]     # [B, C, T]
+    xp = jnp.pad(xn126, ((0, 0), (0, 0), (1, 1)))
+    return sum(
+        jnp.einsum("cn,bct->bnt", w32[2 - dt, 2], xp[:, :, dt : dt + t])
+        for dt in range(3)
+    ) + bias.astype(jnp.float32)[None, :, None]
 
 
 def interleave_up(
