@@ -260,10 +260,11 @@ def training_variant(model: MISONet) -> MISONet:
     """The model variant to differentiate through in training steps.
 
     With ``flat_dense="auto"`` the fused Pallas path is a *forward* win
-    (20.6 vs 27.4 ms at the production geometry) but its custom-VJP
-    backward pays per-layer flat<->NHWC layout conversions, and the full
-    train step measures slower than the plain XLA path end to end
-    (78.9 vs 70.9 ms fwd+bwd+Adam, PERF.md r3).  So "auto" training takes
+    (13.5 vs 29.8 ms at the production geometry) but its custom-VJP
+    backward pays per-call flat<->NHWC layout conversions in the linear
+    twins, and the full train step measures slower than the plain XLA
+    path end to end (83.4 vs 65.1 ms fwd+bwd+Adam, PERF.md round 3).
+    So "auto" training takes
     the XLA path while forward-only consumers (inference decode, eval
     steps, the frozen-MISO1 feature stage) keep the fused kernels — the
     two paths share one parameter tree, so this is purely a compute-path

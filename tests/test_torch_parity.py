@@ -81,3 +81,50 @@ def test_ported_params_structure_matches_init():
     paths_init = {jax.tree_util.keystr(p): v.shape for p, v in flat_init}
     paths_port = {jax.tree_util.keystr(p): np.shape(v) for p, v in flat_port}
     assert paths_init == paths_port
+
+
+@pytest.mark.parametrize("num_ch", [6])
+def test_miso3_forward_parity_with_reference(num_ch):
+    """Enhancement-stage numerical twin: the reference MISO_3 module
+    (model.py:282-395 — mixture + 1 MISO1 + 1 BF conditioning, one output
+    source) at identical ported weights vs our make_miso3 +
+    enhance_input.  Channel stacking order (mix, MISO1, BF per real/imag
+    part — model.py:360-364) must match exactly; together with the
+    decode/MVDR twins in test_pipeline_parity.py this pins every stage of
+    the Tester_Enhance cascade (tester.py:846-975)."""
+    from model import MISO_3  # reference model.py
+
+    from misonet_tpu.models import enhance_input, make_miso3
+
+    torch.manual_seed(1)
+    ref_model = MISO_3(1, num_ch, 7, list(EN), list(DE), "IN").eval()
+
+    b, t, f = 1, 40, 129
+    rng = np.random.default_rng(1)
+
+    def cx(c):
+        return (
+            rng.standard_normal((b, c, t, f))
+            + 1j * rng.standard_normal((b, c, t, f))
+        ).astype(np.complex64)
+
+    mix, miso1, bf = cx(num_ch), cx(1), cx(1)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(mix), torch.from_numpy(miso1),
+            torch.from_numpy(bf),
+        ).numpy()
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params = port_miso_state_dict(sd)
+
+    ours_model = make_miso3(ModelConfig(compute_dtype="float32"))
+    stacked = enhance_input(
+        jnp.asarray(mix), jnp.asarray(miso1), jnp.asarray(bf)
+    )
+    ours = np.asarray(ours_model.apply(params, stacked))
+
+    assert ours.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(ours / scale, ref_out / scale, atol=2e-5)
