@@ -56,16 +56,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from misonet_tpu.ops.pallas.conv_flat import _flat_geometry, slack_for
-from misonet_tpu.ops.pallas.dense_flat import (
-    MASK_ROWS,
-    _round_up,
-    tap_pieces,
-)
+from misonet_tpu.ops.pallas.dense_flat import MASK_ROWS, tap_pieces
 
 K_MASK = 16  # one 16-row block of indicator fields (9 used, 7 zero)
 
 
-def _kernel(widths, strides, n_total, n_fin, n_m, tile_m, fp, f, m_out,
+def pack_plan(widths, q):
+    """Patch-row layout: the (tensor, tap) pieces in order, greedily packed
+    into store groups whose offsets and heights are q-aligned (q = 16 for
+    bf16 stores, 8 for f32).  Pieces are concatenated in-register before
+    the store, so 24-channel tensors no longer pay the 24 -> 32 per-tap
+    stride padding (a 25% K overhead); q-aligned widths degenerate to one
+    piece per group.  Returns (groups, k_data) with groups =
+    ((offset, ((ti, j), ...), pad_rows), ...)."""
+    groups = []
+    cur, cur_rows, off = [], 0, 0
+    for ti, w in enumerate(widths):
+        for j in range(9):
+            cur.append((ti, j))
+            cur_rows += w
+            if cur_rows % q == 0:
+                groups.append((off, tuple(cur), 0))
+                off += cur_rows
+                cur, cur_rows = [], 0
+    if cur:
+        pad = -cur_rows % q
+        groups.append((off, tuple(cur), pad))
+        off += cur_rows + pad
+    return tuple(groups), off
+
+
+def _kernel(widths, plan, k_data, n_total, n_fin, n_m, tile_m, fp, f, m_out,
             t_frames, slack, have_acc, pdt, adt, *refs):
     nt = len(widths)
     n_rest = n_total - n_fin
@@ -147,8 +168,7 @@ def _kernel(widths, strides, n_total, n_fin, n_m, tile_m, fp, f, m_out,
             | ((rows == 7) & tN & f0)
             | ((rows == 8) & tN & fN)
         )
-        base = sum(9 * s for s in strides)
-        p_ref[base : base + K_MASK, :] = field.astype(pdt)
+        p_ref[k_data : k_data + K_MASK, :] = field.astype(pdt)
 
         @pl.when(mm % 2 == 0)
         def _():
@@ -160,17 +180,26 @@ def _kernel(widths, strides, n_total, n_fin, n_m, tile_m, fp, f, m_out,
             for ti in range(nt):
                 dma(ti, 1, mm).wait()
 
-        off = 0
-        base = 0
-        for ti, (width, stride) in enumerate(zip(widths, strides)):
-            win = wins[ti][mm % 2]
-            ch = win[:, :].astype(jnp.float32) * scale_ref[0, off : off + width, :]
-            for j, piece in tap_pieces(ch, fp, tile_m, slack):
-                p_ref[base + j * stride : base + j * stride + width, :] = (
-                    piece.astype(pdt)
-                )
-            off += width
-            base += 9 * stride
+        piece_cache = {}
+
+        def pieces_of(ti):
+            if ti not in piece_cache:
+                off_c = sum(widths[:ti])
+                win = wins[ti][mm % 2]
+                ch = win[:, :].astype(jnp.float32) * scale_ref[
+                    0, off_c : off_c + widths[ti], :
+                ]
+                piece_cache[ti] = dict(tap_pieces(ch, fp, tile_m, slack))
+            return piece_cache[ti]
+
+        for g_off, members, pad in plan:
+            parts = [pieces_of(ti)[j] for ti, j in members]
+            if pad:
+                parts.append(jnp.zeros((pad, tile_m), jnp.float32))
+            block = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=0
+            )
+            p_ref[g_off : g_off + block.shape[0], :] = block.astype(pdt)
         z = jax.lax.dot_general(
             w_ref[0], p_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -209,22 +238,23 @@ def _kernel(widths, strides, n_total, n_fin, n_m, tile_m, fp, f, m_out,
             sq_ref[0] = s_sq[:, :]
 
 
-def stack_wb(w_stack: jnp.ndarray, widths, strides,
+def stack_wb(w_stack: jnp.ndarray, widths, plan,
              scale: jnp.ndarray, mean: jnp.ndarray, pdt) -> jnp.ndarray:
     """Combined per-batch weight matrix [B, N, K] for the stacked call:
-    per-tensor/per-tap conv weight blocks (zero rows at the stride
-    padding) followed by the 16 mean-correction field columns."""
+    the (tensor, tap) conv weight blocks laid out per the patch pack_plan
+    (zero rows at group padding) followed by the 16 mean-correction field
+    columns."""
     c_tot, n = w_stack.shape[2], w_stack.shape[3]
     b = scale.shape[0]
     w9 = w_stack.reshape(9, c_tot, n)
+    offs = [sum(widths[:ti]) for ti in range(len(widths))]
     blocks = []
-    off = 0
-    for width, stride in zip(widths, strides):
-        for j in range(9):
-            blk = w9[j, off : off + width, :]
-            blocks.append(jnp.pad(blk, ((0, stride - width), (0, 0))))
-        off += width
-    w_main = jnp.concatenate(blocks, axis=0).T          # [n, sum(9*stride)]
+    for _, members, pad in plan:
+        for ti, j in members:
+            blocks.append(w9[j, offs[ti] : offs[ti] + widths[ti], :])
+        if pad:
+            blocks.append(jnp.zeros((pad, n), w9.dtype))
+    w_main = jnp.concatenate(blocks, axis=0).T          # [n, k_data]
     w_main = jnp.broadcast_to(w_main, (b,) + w_main.shape)
 
     mu_sc = (mean * scale).astype(jnp.float32)          # [B, C]
@@ -292,16 +322,16 @@ def dense_stack_flat(
     pdt = jnp.float32 if precise else jnp.bfloat16
     adt = jnp.float32 if precise else jnp.bfloat16
     q = 8 if precise else 16
-    strides = [_round_up(width, q) for width in widths]
-    k_total = sum(9 * s for s in strides) + K_MASK
+    plan, k_data = pack_plan(tuple(widths), q)
+    k_total = k_data + K_MASK
 
-    wb = stack_wb(w_stack, widths, strides, scale, mean, pdt)
+    wb = stack_wb(w_stack, widths, plan, scale, mean, pdt)
     scale3 = scale[:, :, None]
     bias2 = bias.reshape(n_fin, 1).astype(jnp.float32)
 
     have_acc = acc_in is not None
     kern = functools.partial(
-        _kernel, tuple(widths), tuple(strides), n_total, n_fin, n_m,
+        _kernel, tuple(widths), plan, k_data, n_total, n_fin, n_m,
         tile_m, fp, f, m_out, t, slack, have_acc, pdt, adt,
     )
     out_shape = [
