@@ -34,7 +34,6 @@ from misonet_tpu.ops.pallas.dense_flat import (
 )
 from misonet_tpu.ops.pallas.flat_grad import (
     conv_down_flat_ad,
-    dense_layer_flat_ad,
     deconv_up_flat_ad,
     enc0_down_flat_ad,
     final_deconv_flat_ad,

@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from misonet_tpu.ops.pallas.conv_flat import _flat_geometry, slack_for
-from misonet_tpu.ops.pallas.dense_flat import MASK_ROWS, tap_pieces
+from misonet_tpu.ops.pallas.dense_flat import MASK_ROWS, _round_up, tap_pieces
 
 K_MASK = 16  # one 16-row block of indicator fields (9 used, 7 zero)
 
@@ -393,10 +393,11 @@ def dense_stack_flat(
 
 
 # ---------------------------------------------------------------------------
-# Autodiff: custom VJP with a pure-JAX linear twin (same scheme as
-# flat_grad.py — the twin's forward is DCE'd under jit, its VJP is the
-# backward; ELU/stats cotangents are folded algebraically from the saved
-# raw output).
+# Autodiff: custom VJP over the fused Pallas backward (stencil_bwd.py):
+# ELU/stats cotangents are folded algebraically from the saved raw output,
+# then one fused kernel computes dgrad/wgrad/reductions entirely in the
+# flat layout — no NHWC materialization anywhere in the backward.  The
+# pure-JAX linear twin below is kept as the numerical oracle for tests.
 # ---------------------------------------------------------------------------
 
 
@@ -432,6 +433,109 @@ def _stack_linear(t, f, tile_m, n_fin, precise, xs, acc_in, w_stack, bias,
     return z_fin, acc_out.astype(adt)
 
 
+def _stack_bwd(t, f, tile_m, n_fin, precise, have_acc, res, cts):
+    """Fused backward of one stacked call via stencil_bwd_flat."""
+    from misonet_tpu.ops.pallas.dense_flat import mask_field
+    from misonet_tpu.ops.pallas.stencil_bwd import (
+        pack_scale,
+        pack_wt,
+        stencil_bwd_flat,
+        unpack_rows,
+    )
+
+    args, y = res
+    if have_acc:
+        xs, acc_in, w_stack, bias, scale, mean = args
+    else:
+        xs, w_stack, bias, scale, mean = args
+    ybar, sbar, qbar = cts[:3]
+    gacc = cts[3] if len(cts) == 4 else None
+
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    q = 8 if precise else 16
+    fp, _, _, _ = _flat_geometry(t, f, tile_m)
+    widths = tuple(int(x.shape[1]) for x in xs)
+    c_tot = sum(widths)
+    n_total = w_stack.shape[-1]
+
+    # fold ELU + fused-statistics cotangents from the saved raw output;
+    # mask to valid positions (sbar is a constant over gap/pad columns)
+    y32 = y.astype(jnp.float32)
+    g_y = ybar.astype(jnp.float32) + sbar + 2.0 * y32 * qbar
+    g_z = g_y * jnp.where(y32 > 0, 1.0, y32 + 1.0)
+    mask_row = jnp.asarray(mask_field(t, f, tile_m)[0])
+    g_fin = (g_z * mask_row).astype(pdt)
+    gs = (g_fin, gacc) if gacc is not None else (g_fin,)
+    g_blocks = (((n_fin, f),),) + (
+        (((n_total - n_fin, f),),) if gacc is not None else ()
+    )
+
+    # static tap tables: 9 transposed taps on the cotangent, 9 source
+    # taps + 9 shifted-validity fields (fwd taps s_j = (dt-1)*fp + (df-1))
+    shifts = tuple(
+        (dt - 1) * fp + (df - 1) for dt in range(3) for df in range(3)
+    )
+    dtaps = tuple((s, None) for s in shifts)
+    wtaps = tuple((i, s, None) for s in shifts for i in range(len(xs)))
+    fields = tuple(("shift", s, f) for s in shifts)
+
+    c_pads = tuple(_round_up(c, 8) for c in widths)
+    x_offs = tuple(sum(c_pads[:i]) for i in range(len(xs)))
+    dr = sum(c_pads)
+    dr_pad = _round_up(dr, q)
+    w9 = w_stack.astype(jnp.float32).reshape(9, c_tot, n_total)
+    coffs = tuple(sum(widths[:i]) for i in range(len(xs)))
+    wt = pack_wt(
+        [
+            [
+                (x_offs[i], w9[8 - k, coffs[i] : coffs[i] + widths[i], :])
+                for i in range(len(xs))
+            ]
+            for k in range(9)
+        ],
+        dr, dr_pad, n_total, pdt,
+    )
+    scales = [scale[:, co : co + w] for co, w in zip(coffs, widths)]
+    means = [mean[:, co : co + w] for co, w in zip(coffs, widths)]
+    scale_pack = pack_scale(scales, c_pads)
+
+    dxs, sdxn, sdxx, dw, fr, dacc = stencil_bwd_flat(
+        gs, xs, wt, scale_pack,
+        t=t, f_ref=f, tile_m=tile_m,
+        g_blocks=g_blocks,
+        x_mask_fs=(f,) * len(xs),
+        dtaps=dtaps, wtaps=wtaps, fields=fields,
+        precise=precise, want_dacc=have_acc,
+    )
+
+    # dW[j, c, n] = A_j[c, n] - sum_b (scale*mean)[b, c] * M_j[b, n]
+    # (scale*x folded into A inside the kernel)
+    musc = (mean * scale).astype(jnp.float32)            # [B, C_tot]
+    a_rows = []
+    row = 0
+    for j in range(9):
+        blocks = []
+        for i in range(len(xs)):
+            blocks.append(dw[row : row + widths[i], :])
+            row += widths[i]
+        a_rows.append(jnp.concatenate(blocks, axis=0))   # [C_tot, NT]
+    a9 = jnp.stack(a_rows, axis=0)                       # [9, C_tot, NT]
+    meanterm = jnp.einsum("bc,bjn->jcn", musc, fr[:, :9, :])
+    dw_stack = (a9 - meanterm).reshape(3, 3, c_tot, n_total)
+    dbias = fr[:, 4, :n_fin].sum(axis=0)                 # center field
+
+    sdxn_u = unpack_rows(sdxn, widths, c_pads)
+    sdxx_u = unpack_rows(sdxx, widths, c_pads)
+    dscale = jnp.concatenate(
+        [sx - mn * sn for sx, sn, mn in zip(sdxx_u, sdxn_u, means)], axis=1
+    )
+    dmean = -scale * jnp.concatenate(sdxn_u, axis=1)
+
+    if have_acc:
+        return tuple(dxs), dacc, dw_stack, dbias, dscale, dmean
+    return tuple(dxs), dw_stack, dbias, dscale, dmean
+
+
 @functools.lru_cache(maxsize=None)
 def _stack_ad(t, f, tile_m, n_fin, precise, have_acc):
     def kernel_fn(*args):
@@ -448,20 +552,6 @@ def _stack_ad(t, f, tile_m, n_fin, precise, have_acc):
             return y, s, q
         return y, s, q, acc_out
 
-    def linear_fn(*args):
-        if have_acc:
-            xs, acc_in, w_stack, bias, scale, mean = args
-        else:
-            xs, w_stack, bias, scale, mean = args
-            acc_in = None
-        z_fin, acc_out = _stack_linear(
-            t, f, tile_m, n_fin, precise, xs, acc_in, w_stack, bias,
-            scale, mean,
-        )
-        if acc_out.shape[1] == 0:
-            return (z_fin,)
-        return z_fin, acc_out
-
     @jax.custom_vjp
     def fn(*args):
         return kernel_fn(*args)
@@ -470,16 +560,8 @@ def _stack_ad(t, f, tile_m, n_fin, precise, have_acc):
         out = kernel_fn(*args)
         return out, (args, out[0])
 
-    def bwd(res, cts):
-        args, y = res
-        ybar, sbar, qbar = cts[:3]
-        y32 = y.astype(jnp.float32)
-        g_y = ybar.astype(jnp.float32) + sbar + 2.0 * y32 * qbar
-        # elu'(z) = 1 for z > 0, e^z = y + 1 otherwise
-        g_z = g_y * jnp.where(y32 > 0, 1.0, y32 + 1.0)
-        lin_cts = (g_z,) if len(cts) == 3 else (g_z, cts[3])
-        _, vjp = jax.vjp(linear_fn, *args)
-        return vjp(lin_cts)
+    bwd = functools.partial(_stack_bwd, t, f, tile_m, n_fin, precise,
+                            have_acc)
 
     fn.defvjp(fwd, bwd)
     return fn

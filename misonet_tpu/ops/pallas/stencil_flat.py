@@ -61,7 +61,7 @@ def _shift_piece(src, s, tile_m, slack):
 
 def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
             fp, m_out, mask_f, slack, fuse_elu, want_stats, pdt,
-            src_offs, tap_gates, omask_taps, *refs):
+            tap_gates, omask_taps, *refs):
     nt = len(widths)
     n_out = sum(r for r, _ in out_blocks)
     x_hbms, rest = refs[:nt], refs[nt:]
@@ -86,7 +86,7 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
     def dma(ti, slot, tile):
         return pltpu.make_async_copy(
             x_hbms[ti].at[
-                bb, :, pl.ds(tile * tile_m + src_offs[ti] - slack, w_win)
+                bb, :, pl.ds(tile * tile_m + tile_m - slack, w_win)
             ],
             wins[ti].at[slot],
             sems.at[ti, slot],
@@ -235,7 +235,7 @@ def _kernel(widths, strides, taps, mask_shifts, out_blocks, n_m, tile_m,
     jax.jit,
     static_argnames=(
         "t", "f_out", "taps", "mask_shifts", "out_blocks", "mask_f",
-        "tile_m", "fuse_elu", "want_stats", "precise", "src_offs",
+        "tile_m", "fuse_elu", "want_stats", "precise",
         "tap_gates", "omask_taps",
     ),
 )
@@ -255,15 +255,12 @@ def stencil_layer_flat(
     fuse_elu: bool = True,
     want_stats: bool = True,
     precise: bool = False,
-    src_offs: tuple[int, ...] | None = None,
     tap_gates: tuple | None = None,
     omask_taps: tuple | None = None,
 ):
     """One generalized stencil layer over flat tensors; returns
     (y [B, n_out, Wx], sums, sqs [B, n_out, 1]).
 
-    ``src_offs[ti]`` overrides the window DMA base offset (for tensors
-    framed with a different pad-block width than this layer's tile).
     ``tap_gates[ti][j]`` optionally restricts tap j of tensor ti to output
     frequencies in [lo, hi) — required when a tap's lane shift would cross
     the frequency gap into the neighboring row's real data.  ``omask_taps``
@@ -281,14 +278,11 @@ def stencil_layer_flat(
     assert fp & (fp - 1) == 0, f"fp={fp} must be a power of two"
     slack = slack_for(fp)
     assert slack <= tile_m and slack % 128 == 0, (slack, tile_m)
-    if src_offs is None:
-        src_offs = (tile_m,) * len(xs)
     assert all(abs(s) <= slack for tp in taps for s in tp)
-    for x, so in zip(xs, src_offs):
-        # window DMA bounds: [mm*tile + so - slack, (mm+1)*tile + so + slack)
-        assert so >= slack, (so, slack)
-        assert n_m * tile_m + so + slack <= x.shape[2], (
-            x.shape, n_m, tile_m, so, slack)
+    for x in xs:
+        # window DMA bounds: [mm*tile + TM - slack, (mm+1)*tile + TM + slack)
+        assert n_m * tile_m + tile_m + slack <= x.shape[2], (
+            x.shape, n_m, tile_m, slack)
     pdt = jnp.float32 if precise else jnp.bfloat16
     q = 8 if precise else 16
     strides = [_round_up(w, q) for w in widths]
@@ -305,7 +299,7 @@ def stencil_layer_flat(
     kern = functools.partial(
         _kernel, tuple(widths), tuple(strides), taps, mask_shifts,
         out_blocks, n_m, tile_m, fp, m_out, mask_f, slack,
-        fuse_elu, want_stats, pdt, tuple(src_offs), tap_gates, omask_taps,
+        fuse_elu, want_stats, pdt, tap_gates, omask_taps,
     )
     out_shape = [jax.ShapeDtypeStruct((b, n_out, xw), pdt)]
     out_specs = [

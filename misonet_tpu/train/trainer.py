@@ -373,9 +373,6 @@ class EnhanceTrainer:
         for i, batch in enumerate(data):
             feats = self._features(batch)
             x, y = self._build_inputs(*feats)
-            if self.state is None:
-                params = jax.jit(self.model.init)(jax.random.key(0), x)
-                self.state = create_train_state(params, self.optimizer)
             if training:
                 if self.writer:
                     self.writer.step_start()
