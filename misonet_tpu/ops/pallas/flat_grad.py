@@ -228,6 +228,161 @@ def _dense_ad(t, f, tile_m, fuse_elu, precise):
     return _make_ad(kernel, lin, fuse_elu)
 
 
+def _fold_cts(y, ybar, sbar, qbar, fuse_elu, pdt):
+    """Fold ELU + fused-statistics cotangents from the saved raw output.
+    The result is NOT masked — the fused backward kernel masks cotangents
+    to the op's valid output positions in-kernel."""
+    y32 = y.astype(jnp.float32)
+    g_y = ybar.astype(jnp.float32) + sbar + 2.0 * y32 * qbar
+    if fuse_elu:
+        # elu'(z) = 1 for z > 0, e^z = y + 1 otherwise
+        g_y = g_y * jnp.where(y32 > 0, 1.0, y32 + 1.0)
+    return g_y.astype(pdt)
+
+
+def _conv_down_bwd(t, f_in, tile_m, fuse_elu, precise, res, cts):
+    """Fused backward of the strided trunk conv (stencil_bwd_flat).
+
+    Forward taps on the s2d phases (stencil_flat.conv_down_flat): even
+    phase at shifts (dt-1)*fp + {0, 1} with kernel df {0, 2}, odd at
+    (dt-1)*fp with df=1; every freq tap of a freq-valid output reads real
+    input, so the dW mean term gates on time validity only (3 fields)."""
+    from misonet_tpu.ops.pallas.dense_flat import _round_up
+    from misonet_tpu.ops.pallas.stencil_bwd import (
+        pack_scale, pack_wt, stencil_bwd_flat, unpack_rows,
+    )
+
+    args, y = res
+    x_even, x_odd, w, bias, scale, mean = args
+    ybar, sbar, qbar = cts
+    f_out = (f_in - 3) // 2 + 1
+    fp, _, _, _ = _flat_geometry(t, f_out, tile_m)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    q = 8 if precise else 16
+    c = x_even.shape[1]
+    n = w.shape[-1]
+    g = _fold_cts(y, ybar, sbar, qbar, fuse_elu, pdt)
+
+    w32 = w.astype(jnp.float32)
+    c_pad = _round_up(c, 8)
+    dr_pad = _round_up(2 * c_pad, q)
+    dtaps, blocks = [], []
+    for dtp in range(3):
+        dtaps.append(((dtp - 1) * fp, None))
+        blocks.append([(0, w32[2 - dtp, 0]), (c_pad, w32[2 - dtp, 1])])
+        dtaps.append(((dtp - 1) * fp - 1, None))
+        blocks.append([(0, w32[2 - dtp, 2])])
+    wt = pack_wt(blocks, 2 * c_pad, dr_pad, n, pdt)
+
+    wtaps = []
+    for dt in range(3):
+        for df in range(3):
+            if df == 1:
+                wtaps.append((1, (dt - 1) * fp, None))
+            else:
+                wtaps.append((0, (dt - 1) * fp + (df // 2), None))
+    fields = tuple(("shift", (dt - 1) * fp, f_out) for dt in range(3))
+
+    dxs, sdxn, sdxx, dw, fr, _ = stencil_bwd_flat(
+        (g,), (x_even, x_odd), wt,
+        pack_scale([scale, scale], (c_pad, c_pad)),
+        t=t, f_ref=f_out, tile_m=tile_m,
+        g_blocks=(((n, f_out),),),
+        x_mask_fs=((f_in + 1) // 2, f_in // 2),
+        dtaps=tuple(dtaps), wtaps=tuple(wtaps), fields=fields,
+        precise=precise,
+    )
+    musc = (mean * scale).astype(jnp.float32)
+    rows, row = [], 0
+    for dt in range(3):
+        mterm = jnp.einsum("bc,bn->cn", musc, fr[:, dt, :])
+        per_df = []
+        for df in range(3):
+            per_df.append(dw[row : row + c, :] - mterm)
+            row += c
+        rows.append(jnp.stack(per_df, axis=0))
+    dw_full = jnp.stack(rows, axis=0)                     # [3, 3, C, N]
+    dbias = fr[:, 1, :].sum(axis=0)                       # dt=1 field
+    sdxn_u = unpack_rows(sdxn, (c, c), (c_pad, c_pad))
+    sdxx_u = unpack_rows(sdxx, (c, c), (c_pad, c_pad))
+    dscale = (sdxx_u[0] - mean * sdxn_u[0]) + (sdxx_u[1] - mean * sdxn_u[1])
+    dmean = -scale * (sdxn_u[0] + sdxn_u[1])
+    return dxs[0], dxs[1], dw_full, dbias, dscale, dmean
+
+
+def _deconv_up_bwd(t, f_in, tile_m, fuse_elu, precise, res, cts):
+    """Fused backward of the frequency-up transpose conv.
+
+    Forward (stencil_flat.deconv_up_flat) emits phase-major rows [2N] in
+    the input framing: even block reads x at (dtp-1)*fp + {-1, 0} with
+    kernels w[2-dtp, {2, 0}], odd at (dtp-1)*fp with w[2-dtp, 1]."""
+    from misonet_tpu.ops.pallas.dense_flat import _round_up
+    from misonet_tpu.ops.pallas.stencil_bwd import (
+        pack_scale, pack_wt, stencil_bwd_flat, unpack_rows,
+    )
+
+    args, y = res
+    x, w, bias, scale, mean = args
+    ybar, sbar, qbar = cts
+    fp, _, _, _ = _flat_geometry(t, f_in, tile_m)
+    assert fp == f_in + 1, (fp, f_in)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    q = 8 if precise else 16
+    c = x.shape[1]
+    n = w.shape[-1]
+    g = _fold_cts(y, ybar, sbar, qbar, fuse_elu, pdt)   # [B, 2N, Wx]
+
+    w32 = w.astype(jnp.float32)
+    zeros = jnp.zeros((c, n), jnp.float32)
+    c_pad = _round_up(c, 8)
+    dr_pad = _round_up(c_pad, q)
+    dtaps, blocks = [], []
+    for dtp in range(3):
+        dtaps.append(((dtp - 1) * fp, None))
+        blocks.append(
+            [(0, jnp.concatenate([w32[dtp, 0], w32[dtp, 1]], axis=1))]
+        )
+        dtaps.append(((dtp - 1) * fp + 1, None))
+        blocks.append([(0, jnp.concatenate([w32[dtp, 2], zeros], axis=1))])
+    wt = pack_wt(blocks, c_pad, dr_pad, 2 * n, pdt)
+
+    wtaps, fields = [], []
+    for dtp in range(3):
+        for s in ((dtp - 1) * fp - 1, (dtp - 1) * fp):
+            wtaps.append((0, s, None))
+            fields.append(("shift", s, f_in))
+    fields.append(("ones",))
+
+    dxs, sdxn, sdxx, dw, fr, _ = stencil_bwd_flat(
+        (g,), (x,), wt, pack_scale([scale], (c_pad,)),
+        t=t, f_ref=f_in, tile_m=tile_m,
+        g_blocks=(((n, fp), (n, f_in)),),
+        x_mask_fs=(f_in,),
+        dtaps=tuple(dtaps), wtaps=tuple(wtaps), fields=tuple(fields),
+        precise=precise,
+    )
+    musc = (mean * scale).astype(jnp.float32)
+    dw_full = [[None] * 3 for _ in range(3)]
+    row = 0
+    for dtp in range(3):
+        a_m1 = dw[row : row + c, :]
+        row += c
+        a_0 = dw[row : row + c, :]
+        row += c
+        mt_m1 = jnp.einsum("bc,bn->cn", musc, fr[:, 2 * dtp, :])
+        mt_0 = jnp.einsum("bc,bn->cn", musc, fr[:, 2 * dtp + 1, :])
+        dw_full[2 - dtp][2] = (a_m1 - mt_m1)[:, :n]
+        dw_full[2 - dtp][0] = (a_0 - mt_0)[:, :n]
+        dw_full[2 - dtp][1] = (a_0 - mt_0)[:, n:]
+    dw_full = jnp.stack([jnp.stack(r, axis=0) for r in dw_full], axis=0)
+    dbias = (fr[:, 6, :n] + fr[:, 6, n:]).sum(axis=0)
+    sdxn_u = unpack_rows(sdxn, (c,), (c_pad,))[0]
+    sdxx_u = unpack_rows(sdxx, (c,), (c_pad,))[0]
+    dscale = sdxx_u - mean * sdxn_u
+    dmean = -scale * sdxn_u
+    return dxs[0], dw_full, dbias, dscale, dmean
+
+
 @functools.lru_cache(maxsize=None)
 def _conv_down_ad(t, f_in, tile_m, fuse_elu, precise):
     from misonet_tpu.ops.pallas.stencil_flat import conv_down_flat
@@ -238,8 +393,18 @@ def _conv_down_ad(t, f_in, tile_m, fuse_elu, precise):
             t=t, f_in=f_in, tile_m=tile_m, fuse_elu=fuse_elu, precise=precise,
         )
 
-    lin = functools.partial(_conv_down_linear, t, f_in, tile_m, precise)
-    return _make_ad(kernel, lin, fuse_elu)
+    @jax.custom_vjp
+    def fn(*args):
+        return tuple(kernel(*args))
+
+    def fwd(*args):
+        out = tuple(kernel(*args))
+        return out, (args, out[0])
+
+    bwd = functools.partial(_conv_down_bwd, t, f_in, tile_m, fuse_elu,
+                            precise)
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
@@ -252,8 +417,18 @@ def _deconv_up_ad(t, f_in, tile_m, fuse_elu, precise):
             t=t, f_in=f_in, tile_m=tile_m, fuse_elu=fuse_elu, precise=precise,
         )
 
-    lin = functools.partial(_deconv_up_linear, t, f_in, tile_m, precise)
-    return _make_ad(kernel, lin, fuse_elu)
+    @jax.custom_vjp
+    def fn(*args):
+        return tuple(kernel(*args))
+
+    def fwd(*args):
+        out = tuple(kernel(*args))
+        return out, (args, out[0])
+
+    bwd = functools.partial(_deconv_up_bwd, t, f_in, tile_m, fuse_elu,
+                            precise)
+    fn.defvjp(fwd, bwd)
+    return fn
 
 
 def _enc0_linear(t, tile_m, precise, x_cm, w, bias):
@@ -272,6 +447,79 @@ def _enc0_linear(t, tile_m, precise, x_cm, w, bias):
                       tile_m)
 
 
+def _enc0_bwd(t, tile_m, precise, res, ybar):
+    """Fused backward of the encoder's first conv (bare: no ELU/IN, raw
+    input with identity statistics — no mean term, no dscale/dmean).
+
+    Forward taps (stencil_flat.enc0_down_flat) on the xa/xb slices: xa at
+    (dt-1)*fp (kernel df=0), xb at (dt-1)*fp + {0, 1} (df {1, 2}); the
+    slices are dense real data (no zero gap), so dx is masked only to
+    in-bounds columns and scattered back through the slice geometry."""
+    from misonet_tpu.ops.pallas.dense_flat import _round_up
+    from misonet_tpu.ops.pallas.stencil_bwd import (
+        pack_scale, pack_wt, stencil_bwd_flat,
+    )
+    from misonet_tpu.ops.pallas.stencil_flat import enc0_slices
+
+    x_cm, w, bias = res
+    b, c_in, _, f_full = x_cm.shape
+    f_out = f_full - 2
+    fp, m_out, _, _ = _flat_geometry(t, f_out, tile_m)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    q = 8 if precise else 16
+    n = w.shape[-1]
+    xa, xb = enc0_slices(x_cm, t, f_out, tile_m, pdt)
+    c_pad = xa.shape[1]
+    w32 = jnp.pad(
+        w.astype(jnp.float32), ((0, 0), (0, 0), (0, c_pad - c_in), (0, 0))
+    )
+    g = ybar.astype(pdt)
+
+    dr_pad = _round_up(2 * c_pad, q)
+    dtaps, blocks = [], []
+    for dtp in range(3):
+        dtaps.append(((dtp - 1) * fp, None))
+        blocks.append([(0, w32[2 - dtp, 0]), (c_pad, w32[2 - dtp, 1])])
+        dtaps.append(((dtp - 1) * fp - 1, None))
+        blocks.append([(c_pad, w32[2 - dtp, 2])])
+    wt = pack_wt(blocks, 2 * c_pad, dr_pad, n, pdt)
+
+    wtaps = []
+    for dt in range(3):
+        wtaps.append((0, (dt - 1) * fp, None))
+        wtaps.append((1, (dt - 1) * fp, None))
+        wtaps.append((1, (dt - 1) * fp + 1, None))
+    ones = jnp.ones((b, c_pad), jnp.float32)
+
+    dxs, _, _, dw, fr, _ = stencil_bwd_flat(
+        (g,), (xa, xb), wt, pack_scale([ones, ones], (c_pad, c_pad)),
+        t=t, f_ref=f_out, tile_m=tile_m,
+        g_blocks=(((n, f_out),),),
+        x_mask_fs=(fp, fp),
+        dtaps=tuple(dtaps), wtaps=tuple(wtaps), fields=(("ones",),),
+        precise=precise,
+    )
+    rows, row = [], 0
+    for dt in range(3):
+        per_df = []
+        for _ in range(3):
+            per_df.append(dw[row : row + c_pad, :][:c_in])
+            row += c_pad
+        rows.append(jnp.stack(per_df, axis=0))
+    dw_full = jnp.stack(rows, axis=0)                     # [3, 3, C, N]
+    dbias = fr[:, 0, :].sum(axis=0)
+
+    def unframe(v):
+        v = v[:, :c_in, tile_m : tile_m + t * fp].astype(jnp.float32)
+        return v.reshape(b, c_in, t, fp)
+
+    dx_cm = (
+        jnp.pad(unframe(dxs[0]), ((0, 0), (0, 0), (0, 0), (0, 1)))
+        + jnp.pad(unframe(dxs[1]), ((0, 0), (0, 0), (0, 0), (1, 0)))
+    ).astype(x_cm.dtype)
+    return dx_cm, dw_full, dbias
+
+
 @functools.lru_cache(maxsize=None)
 def _enc0_ad(t, tile_m, precise):
     from misonet_tpu.ops.pallas.stencil_flat import enc0_down_flat
@@ -281,8 +529,6 @@ def _enc0_ad(t, tile_m, precise):
             x_cm, w, bias, t=t, tile_m=tile_m, precise=precise
         )
 
-    lin = functools.partial(_enc0_linear, t, tile_m, precise)
-
     @jax.custom_vjp
     def fn(x_cm, w, bias):
         return kernel(x_cm, w, bias)
@@ -290,12 +536,7 @@ def _enc0_ad(t, tile_m, precise):
     def fwd(x_cm, w, bias):
         return kernel(x_cm, w, bias), (x_cm, w, bias)
 
-    def bwd(res, ybar):
-        # bare conv: no ELU, no fused stats — the cotangent passes straight
-        # into the linear twin's VJP (gap/pad columns drop at the flatten)
-        _, vjp = jax.vjp(lin, *res)
-        return vjp(ybar.astype(jnp.float32))
-
+    bwd = functools.partial(_enc0_bwd, t, tile_m, precise)
     fn.defvjp(fwd, bwd)
     return fn
 
@@ -328,6 +569,75 @@ def _final_linear(t, f, tile_m, precise, x, w, bias, scale, mean):
     return jnp.pad(za, ((0, 0), (0, 0), (tile_m, xw - tile_m - t * fp)))
 
 
+def _final_bwd(t, f, tile_m, precise, res, ybar):
+    """Fused backward of the final bare transpose conv (127 -> 128 bins;
+    the bin-128 branch is plain XLA and differentiates natively).
+
+    Forward taps (stencil_flat.final_deconv_flat): shifts (dt-1)*fp +
+    (df-2) with flipped kernel w[2-dt, 2-df], each gated to the output
+    frequencies [lo, hi) where the read stays inside the valid input —
+    the backward carries the same gates on the transposed taps and uses
+    the forward's output-relative omask fields for the dW mean term."""
+    from misonet_tpu.ops.pallas.dense_flat import _round_up
+    from misonet_tpu.ops.pallas.stencil_bwd import (
+        pack_scale, pack_wt, stencil_bwd_flat, unpack_rows,
+    )
+
+    x, w, bias, scale, mean = res
+    fp, _, _, _ = _flat_geometry(t, f, tile_m)
+    assert fp == f + 1, (fp, f)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+    q = 8 if precise else 16
+    c = x.shape[1]
+    n = w.shape[-1]
+    g = ybar.astype(pdt)
+    w32 = w.astype(jnp.float32)
+
+    def gate_of(df):
+        return (2 - df if df < 2 else 0, f if df == 2 else fp)
+
+    c_pad = _round_up(c, 8)
+    dr_pad = _round_up(c_pad, q)
+    dtaps, blocks = [], []
+    for dtp in range(3):
+        for dfp in range(3):
+            dtaps.append(((dtp - 1) * fp + dfp, gate_of(2 - dfp)))
+            blocks.append([(0, w32[dtp, dfp])])
+    wt = pack_wt(blocks, c_pad, dr_pad, n, pdt)
+
+    wtaps, fields = [], []
+    for dt in range(3):
+        for df in range(3):
+            lo, hi = gate_of(df)
+            wtaps.append((0, (dt - 1) * fp + (df - 2), (lo, hi)))
+            fields.append(("omask", dt - 1, lo, hi))
+    fields.append(("ones",))
+
+    dxs, sdxn, sdxx, dw, fr, _ = stencil_bwd_flat(
+        (g,), (x,), wt, pack_scale([scale], (c_pad,)),
+        t=t, f_ref=f, tile_m=tile_m,
+        g_blocks=(((n, fp),),),
+        x_mask_fs=(f,),
+        dtaps=tuple(dtaps), wtaps=tuple(wtaps), fields=tuple(fields),
+        precise=precise,
+    )
+    musc = (mean * scale).astype(jnp.float32)
+    dw_full = [[None] * 3 for _ in range(3)]
+    row = 0
+    for dt in range(3):
+        for df in range(3):
+            mterm = jnp.einsum("bc,bn->cn", musc, fr[:, 3 * dt + df, :])
+            dw_full[2 - dt][2 - df] = dw[row : row + c, :] - mterm
+            row += c
+    dw_full = jnp.stack([jnp.stack(r, axis=0) for r in dw_full], axis=0)
+    dbias = fr[:, 9, :].sum(axis=0)
+    sdxn_u = unpack_rows(sdxn, (c,), (c_pad,))[0]
+    sdxx_u = unpack_rows(sdxx, (c,), (c_pad,))[0]
+    dscale = sdxx_u - mean * sdxn_u
+    dmean = -scale * sdxn_u
+    return dxs[0], dw_full, dbias, dscale, dmean
+
+
 @functools.lru_cache(maxsize=None)
 def _final_ad(t, f, tile_m, precise):
     from misonet_tpu.ops.pallas.stencil_flat import final_deconv_flat
@@ -338,8 +648,6 @@ def _final_ad(t, f, tile_m, precise):
             precise=precise,
         )
 
-    lin = functools.partial(_final_linear, t, f, tile_m, precise)
-
     @jax.custom_vjp
     def fn(x, w, bias, scale, mean):
         return kernel(x, w, bias, scale, mean)
@@ -347,11 +655,7 @@ def _final_ad(t, f, tile_m, precise):
     def fwd(*args):
         return kernel(*args), args
 
-    def bwd(res, ybar):
-        # bare transpose conv: no ELU, no fused stats
-        _, vjp = jax.vjp(lin, *res)
-        return vjp(ybar.astype(jnp.float32))
-
+    bwd = functools.partial(_final_bwd, t, f, tile_m, precise)
     fn.defvjp(fwd, bwd)
     return fn
 

@@ -175,6 +175,7 @@ RIR_mixing:
     assert list((tmp_path / "shards").glob("*.npz"))
 
 
+@pytest.mark.slow
 def test_cli_train_miso1(corpus_and_config):
     root, cfg = corpus_and_config
     _run(["-c", str(cfg), "-m", "Train", "-t", "MISO1",
@@ -182,6 +183,7 @@ def test_cli_train_miso1(corpus_and_config):
     assert (root / "model_result/miso1/best").exists()
 
 
+@pytest.mark.slow
 def test_cli_test_miso1(corpus_and_config):
     root, cfg = corpus_and_config
     # tiny model config must also drive _load_miso1's probe width via config

@@ -72,6 +72,7 @@ def test_reference_pickle_format(tmp_path):
     np.testing.assert_allclose(item["ref"][0], d["ref"][0])
 
 
+@pytest.mark.slow
 def test_wave_train_step(shard_dir):
     """End-to-end config-1 slice (BASELINE.json): wave batch -> on-device
     STFT -> MISO1 forward -> uPIT loss -> update, loss finite & decreasing."""

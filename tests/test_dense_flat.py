@@ -56,6 +56,7 @@ def test_flat_bundle_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_misonet_flat_dense_matches_plain():
     """Full MISO1 forward: flat_dense path == plain path (f32/precise)."""
     from misonet_tpu.config import ModelConfig

@@ -35,6 +35,7 @@ def _loss_weights(y):
         ((2, 9, 7, 8), 8, 16),      # decoder-like final width
     ],
 )
+@pytest.mark.slow
 def test_stacked_gradients_match_plain(shape, g1, g2):
     b, t, f, c = shape
     rng = np.random.default_rng(3)

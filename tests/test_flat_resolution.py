@@ -45,6 +45,7 @@ def test_forced_true_raises_on_bad_geometry():
         resolve_flat(True, num_bins=33, nb=7, en=EN, de_full=DE)
 
 
+@pytest.mark.slow
 def test_default_model_runs_on_any_backend():
     """A default-config model (flat_dense='auto') must construct and run
     on whatever backend the test runs on — the round-2 regression."""

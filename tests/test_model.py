@@ -82,6 +82,7 @@ def test_miso3_shapes():
     assert y.shape == (1, 1, T, F)
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype():
     cfg = ModelConfig(compute_dtype="bfloat16")
     model = make_miso1(cfg)

@@ -2,6 +2,7 @@
 dataset, train the enhancement stage from them (reference
 load_MISO1_Output / load_MVDR_Output modes)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ DS = DatasetConfig(num_ch=3, num_ch_utilize=3, num_spks=2, ref_ch=0,
                    chunk_time=0.25, least_time=0.125)
 
 
+@pytest.mark.slow
 def test_precompute_and_train(tmp_path):
     shard_dir = synth_shard_dir(
         tmp_path, num_utts=2, num_samples=2000, num_ch=3,

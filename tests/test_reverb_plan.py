@@ -3,6 +3,7 @@
 hard-codes NN_BSS.yml; see configs/reverb_2mix.yml for the deviations that
 make the plan actually runnable)."""
 
+import pytest
 from pathlib import Path
 
 import jax
@@ -29,6 +30,7 @@ def test_reverb_yaml_loads():
     assert cfg.miso1.tcn_channels == 384
 
 
+@pytest.mark.slow
 def test_reverb_plan_forward_and_ladder():
     """The F=257 frequency ladder closes to 1 at the bottleneck and the
     decoder mirrors back to 257 (the reference's own 8-block stride pattern

@@ -2,6 +2,7 @@
 mesh: halo exchange + collective norm statistics must reproduce the
 unsharded output exactly (SURVEY.md §5 long-context)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,8 @@ from misonet_tpu.config import ModelConfig
 from misonet_tpu.models.blocks import TemporalConvNet
 from misonet_tpu.parallel import make_mesh
 from misonet_tpu.parallel.tcn_sp import tcn_time_sharded
+
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(tcn_repeats=2, tcn_blocks=4, tcn_channels=16)
 B, T, C = 2, 256, 16  # T covers dilations up to 8 across 8 shards of 32

@@ -119,6 +119,7 @@ def test_learning_rate_injection(setup):
     state, _ = step(state, mix, ref)  # still runs after LR surgery
 
 
+@pytest.mark.slow
 def test_flat_gradients_match_xla_on_mesh():
     """Gradient-parity triangle (VERDICT r2 item 10): fused flat-path
     gradients (interpret mode, precise fp32, single device) must equal the

@@ -17,6 +17,8 @@ from misonet_tpu.models import make_miso1, make_miso3
 from misonet_tpu.train.trainer import SeparationTrainer, EnhanceTrainer
 
 # F=17 ladder -> nperseg 32 (17 bins), hop 8
+pytestmark = pytest.mark.slow
+
 STFT = StftConfig(fs=8000, length=32, overlap=24)
 SMALL = ModelConfig(
     num_bottleneck=4,
