@@ -51,6 +51,16 @@ def _next_bucket(n: int) -> int:
     return b
 
 
+def _mask_frames(z: jnp.ndarray, t_valid: int) -> jnp.ndarray:
+    """Zero STFT frames at index >= t_valid (the frames a bucket-padded
+    signal has beyond the exact-length scipy framing)."""
+    t = z.shape[-2]
+    if t_valid >= t:
+        return z
+    keep = (jnp.arange(t) < t_valid)[:, None].astype(z.real.dtype)
+    return z * keep
+
+
 @dataclasses.dataclass
 class UtteranceResult:
     separated: np.ndarray          # [S, samples] time-domain per speaker
@@ -70,6 +80,7 @@ class CascadeEvaluator:
         enhance_params=None,
         joint: bool = False,
         beamform_utterance: bool = True,
+        power_iters: int = 100,
     ):
         self.stft_cfg = stft_cfg
         self.ds = ds_cfg
@@ -78,11 +89,21 @@ class CascadeEvaluator:
         self.enhance_params = enhance_params
         self.joint = joint
         self.beamform_utterance = beamform_utterance
+        self.power_iters = power_iters
         self.decode = make_full_array_decode(
             miso1_model, ds_cfg.num_ch_utilize, ds_cfg.ref_ch
         )
         self._stft = jax.jit(
             lambda w: stft_scaled(w, self.stft_cfg)
+        )
+        # bucketed-utterance STFT with the frames past the true signal
+        # zeroed: the zero-pad to a bucket length adds ONE frame straddling
+        # the real tail (start t_valid*hop - length/2) that the reference's
+        # exact-length scipy framing never produces — left in, it pollutes
+        # the utterance SCM and skews the MVDR weights globally
+        self._stft_masked = jax.jit(
+            lambda w, tv: _mask_frames(stft_scaled(w, self.stft_cfg), tv),
+            static_argnums=1,
         )
         # jitted enhance apply: eager apply dispatches op-by-op through
         # the device relay (~50 ms each)
@@ -199,8 +220,15 @@ class CascadeEvaluator:
         )[:, :out_len]
 
     def _istft_multi(self, spec: jnp.ndarray, out_len: int) -> np.ndarray:
-        """[S, T, F] full-utterance spectrogram -> [S, out_len] wave."""
-        wav = istft_scaled(spec, self.stft_cfg, out_len)
+        """[S, T, F] full-utterance spectrogram -> [S, out_len] wave.
+
+        Synthesis uses exactly the frames of the out_len-sample scipy
+        framing: bucket-pad frames beyond t_valid would not change the
+        OLA numerator (they are masked to zero upstream) but WOULD enter
+        the window-energy envelope, deflating the final hop's samples
+        relative to the reference's exact-length iSTFT."""
+        t_valid = min(spec.shape[-2], out_len // self.stft_cfg.hop + 1)
+        wav = istft_scaled(spec[..., :t_valid, :], self.stft_cfg, out_len)
         return np.asarray(wav)
 
     def _beamform(self, full, mix, pieces, mix_wave, n, gap):
@@ -210,7 +238,9 @@ class CascadeEvaluator:
         if not self.beamform_utterance:
             # chunk mode (tester.py:453-543): MVDR per split
             bf = jax.vmap(
-                lambda s_: mvdr_beamform(s_, mix, ref_ch=ds.ref_ch),
+                lambda s_: mvdr_beamform(
+                    s_, mix, ref_ch=ds.ref_ch, power_iters=self.power_iters
+                ),
                 in_axes=1,
                 out_axes=1,
             )(full)                                      # [N, S, T, F]
@@ -231,11 +261,13 @@ class CascadeEvaluator:
         stitched = np.pad(stitched, [(0, 0), (0, 0), (0, pad)])
         mix_full = np.pad(mix_wave.T, [(0, 0), (0, bucket - out_len)])
 
-        src_stft = self._stft(jnp.asarray(stitched))     # [S, C, T, F]
-        mix_stft = self._stft(jnp.asarray(mix_full))     # [C, T, F]
+        t_valid = out_len // cfg.hop + 1
+        src_stft = self._stft_masked(jnp.asarray(stitched), t_valid)
+        mix_stft = self._stft_masked(jnp.asarray(mix_full), t_valid)
         bf = jax.vmap(
             lambda s_: mvdr_beamform(
-                s_[None], mix_stft[None], ref_ch=ds.ref_ch
+                s_[None], mix_stft[None], ref_ch=ds.ref_ch,
+                power_iters=self.power_iters,
             )[0]
         )(src_stft)                                      # [S, T, F]
         return bf, mix_stft, src_stft.shape[-2]
@@ -286,7 +318,7 @@ class CascadeEvaluator:
         out_len = n * chunk - gap
         bucket = _next_bucket(max(1, -(-out_len // chunk))) * chunk
         wav = np.pad(wav[:, :out_len], [(0, 0), (0, bucket - out_len)])
-        z = self._stft(jnp.asarray(wav))
+        z = self._stft_masked(jnp.asarray(wav), out_len // cfg.hop + 1)
         if z.shape[-2] < t_frames:
             z = jnp.pad(z, [(0, 0), (0, t_frames - z.shape[-2]), (0, 0)])
         return z[:, :t_frames]

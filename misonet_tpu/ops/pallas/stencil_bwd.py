@@ -151,7 +151,9 @@ def _kernel(g_rows, g_blocks, x_rows, x_offs, x_mask_fs, dtaps, wtaps,
         # ---- masked cotangent window: g_full [NT, w_win] ----------------
         # per-row-block output validity (the downstream fold adds the
         # per-channel stats cotangent on gap/pad columns — drop it here,
-        # like the linear twins dropped it via slicing)
+        # like the linear twins dropped it via slicing).  Kept f32:
+        # tpu.dynamic_rotate (the tap shifts) is 32-bit only; pieces are
+        # cast to the matmul dtype after the roll.
         g_parts = []
         for l in range(L):
             win = g_wins[l][slot]
@@ -166,14 +168,15 @@ def _kernel(g_rows, g_blocks, x_rows, x_offs, x_mask_fs, dtaps, wtaps,
                     & (cols >= 0) & (cols < m_out)
                 )
                 g_parts.append(
-                    jnp.where(ok, win[r0 : r0 + rows, :], 0).astype(pdt)
+                    jnp.where(ok, win[r0 : r0 + rows, :].astype(jnp.float32),
+                              0.0)
                 )
                 r0 += rows
         g_full = (
             g_parts[0] if len(g_parts) == 1
             else jnp.concatenate(g_parts, axis=0)
         )
-        g_center = _shift_piece(g_full, 0, tile_m, slack)
+        g_center = _shift_piece(g_full, 0, tile_m, slack).astype(pdt)
 
         # ---- dgrad: G = sum_k Wt_k @ g_piece(shift_k) --------------------
         acc = None
@@ -187,7 +190,7 @@ def _kernel(g_rows, g_blocks, x_rows, x_offs, x_mask_fs, dtaps, wtaps,
                 ) & (fp - 1)
                 piece = piece * ((fcg >= lo) & (fcg < hi)).astype(piece.dtype)
             d = jax.lax.dot_general(
-                wt_ref[k * dr_pad : k * dr_pad + dr, :], piece,
+                wt_ref[k * dr_pad : k * dr_pad + dr, :], piece.astype(pdt),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

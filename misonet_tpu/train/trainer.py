@@ -36,7 +36,7 @@ from misonet_tpu.config import (
 from misonet_tpu.inference.separate import make_full_array_decode, align_slots
 from misonet_tpu.beamforming.mvdr import mvdr_beamform
 from misonet_tpu.losses import magnitude_distance
-from misonet_tpu.models import enhance_input, training_variant
+from misonet_tpu.models import enhance_input
 from misonet_tpu.ops.complex_utils import to_device, to_host
 from misonet_tpu.ops.stft import stft_scaled
 from misonet_tpu.train.state import (
@@ -85,12 +85,11 @@ class SeparationTrainer:
             min_lr=opt_cfg.min_lr,
             early_stop_patience=trainer_cfg.early_stop_patience,
         )
-        # training differentiates the XLA-path variant under "auto"
-        # (fused fwd + custom-VJP bwd measures slower end to end than
-        # XLA's fwd+bwd, PERF.md r3); eval keeps the fused forward.
-        # Both share one parameter tree.
+        # training and eval share the same model: the fused Pallas path
+        # trains through its real backward kernels (ops/pallas/
+        # stencil_bwd.py — 38.7 vs 65.1 ms/step on the XLA path, PERF.md r4)
         self.train_step = make_separate_wave_train_step(
-            training_variant(model), self.optimizer, stft_cfg,
+            model, self.optimizer, stft_cfg,
             ref_ch=ds_cfg.ref_ch, mesh=mesh,
         )
         self.eval_step = make_separate_wave_eval_step(
@@ -228,14 +227,13 @@ class EnhanceTrainer:
             min_lr=opt_cfg.min_lr,
             early_stop_patience=trainer_cfg.early_stop_patience,
         )
-        train_model = training_variant(enhance_model)  # see SeparationTrainer
         if joint:
             self.train_step = make_enhance_joint_train_step(
-                train_model, self.optimizer, mesh=mesh
+                enhance_model, self.optimizer, mesh=mesh
             )
         else:
             self.train_step = make_enhance_train_step(
-                train_model, self.optimizer, mesh=mesh
+                enhance_model, self.optimizer, mesh=mesh
             )
         self.feature_step = self._make_feature_step(miso1_model, miso1_params)
         self.precomputed_step = self._make_precomputed_step()

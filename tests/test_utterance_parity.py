@@ -1,0 +1,179 @@
+"""Numerical twin of UTTERANCE-MODE beamforming against the actual
+reference code (/root/reference/tester.py:340-451) — the paper's core eval
+path that the stage-level twins in test_pipeline_parity.py did not cover:
+
+  per-chunk MISO1 decode -> per-chunk alignment to the clean sources ->
+  per-speaker multi-channel iSTFT -> stitch (trim the final chunk's zero
+  pad ``gap``) -> re-STFT the FULL utterance -> ONE SCM over all frames ->
+  MVDR -> iSTFT.
+
+The oracle below replays that chain line by line with the reference's own
+primitives (``MISO1_Inference``, ``Apply_Beamforming``, scipy STFT/iSTFT
+with the loader's 1/scale feature convention, data.py:517-556) on a
+synthetic multi-chunk 6-mic utterance whose length does NOT divide the
+chunk size — so the gap bookkeeping, the stitched frame grid, and the
+bucketed-padding design of ``CascadeEvaluator`` (zero frames cancel in
+the SCM) are all pinned, not just the per-stage math.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import test_pipeline_parity as tpp
+
+torch = pytest.importorskip("torch")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(tpp.ref_tester is None, reason="reference unavailable"),
+]
+
+from misonet_tpu.config import DatasetConfig, StftConfig  # noqa: E402
+from misonet_tpu.inference.evaluate import CascadeEvaluator  # noqa: E402
+
+
+def _loader_stft(cfg: StftConfig, wav: np.ndarray) -> np.ndarray:
+    """The reference loader's feature transform (data.py:510-556):
+    scipy.signal.stft per channel / scale.  wav [T, C] -> [C, F, T]."""
+    scale = np.sqrt(1.0 / scipy.signal.get_window("hann", cfg.length).sum() ** 2)
+    chans = []
+    for c in range(wav.shape[1]):
+        _, _, z = scipy.signal.stft(
+            wav[:, c], fs=cfg.fs, window=cfg.window,
+            nperseg=cfg.length, noverlap=cfg.overlap,
+        )
+        chans.append(z)
+    return np.stack(chans) / scale
+
+
+def _ref_istft(cfg: StftConfig, spec: np.ndarray) -> np.ndarray:
+    """Reference ISTFT (tester.py:545-556): scipy istft of scale*spec.
+    spec [.., F, T] (already multiplied by scale by the caller)."""
+    _, t_sig = scipy.signal.istft(
+        spec, fs=cfg.fs, window=cfg.window,
+        nperseg=cfg.length, noverlap=cfg.overlap,
+    )
+    return t_sig
+
+
+def _ref_utterance_chain(ref_model, cfg, mix_wave, refs, chunk, ref_ch=0):
+    """tester.py:340-451 (utterance mode, B=1) with the reference's own
+    MISO1_Inference / Apply_Beamforming.  Returns (separated [S, L] at the
+    reference mic, beamformed [S, L])."""
+    scale = np.sqrt(1.0 / scipy.signal.get_window("hann", cfg.length).sum() ** 2)
+    tb = tpp._ref_beamformer()
+    tb.model = ref_model
+    tb.num_spks = refs.shape[0]
+    s_num = refs.shape[0]
+
+    n_samp = mix_wave.shape[0]
+    num = -(-n_samp // chunk)
+    gap = num * chunk - n_samp
+    mixp = np.pad(mix_wave, [(0, gap), (0, 0)])
+    refp = np.pad(refs.T, [(0, gap), (0, 0)])            # [samples, S]
+
+    t_e = [None] * s_num
+    t_obs = None
+    for si in range(num):
+        seg = mixp[si * chunk : (si + 1) * chunk]
+        observe = torch.from_numpy(
+            _loader_stft(cfg, seg).transpose(0, 2, 1)
+        )[None].to(torch.complex64)                      # [1, M, T, F]
+        clean = torch.from_numpy(
+            _loader_stft(cfg, refp[si * chunk : (si + 1) * chunk])
+            .transpose(0, 2, 1)
+        ).to(torch.complex64)                            # [S, T, F]
+        with torch.no_grad():
+            est = tb.MISO1_Inference(observe, ref_ch=ref_ch)
+        est = [e[0] for e in est]                        # per spk [M, T, F]
+
+        # per-chunk PIT alignment to the clean refs (tester.py:370-394)
+        est_ref = torch.stack([e[ref_ch] for e in est])  # [S, T, F]
+        dist = (
+            (est_ref.abs()[None, :] - clean.abs()[:, None])
+            .abs().sum((-2, -1))
+        )                                                # [clean, est]
+        best, best_perm = None, None
+        for perm in itertools.permutations(range(s_num)):
+            v = float(sum(dist[i, perm[i]] for i in range(s_num)))
+            if best is None or v < best:
+                best, best_perm = v, perm
+        aligned = [est[best_perm[s]] for s in range(s_num)]
+
+        for s in range(s_num):
+            spec = (aligned[s].numpy() * scale).transpose(0, 2, 1)
+            tw = _ref_istft(cfg, spec)                   # [M, chunk]
+            assert tw.shape[1] == chunk
+            if si == num - 1 and gap:
+                tw = tw[:, : chunk - gap]
+            t_e[s] = tw if si == 0 else np.append(t_e[s], tw, axis=1)
+        ow = _ref_istft(
+            cfg, (observe[0].numpy() * scale).transpose(0, 2, 1)
+        )
+        if si == num - 1 and gap:
+            ow = ow[:, : chunk - gap]
+        t_obs = ow if si == 0 else np.append(t_obs, ow, axis=1)
+
+    # full-utterance re-STFT -> one SCM over all frames -> MVDR -> iSTFT
+    # (tester.py:426-451)
+    obs_u = _loader_stft(cfg, t_obs.T)                   # [M, F, T]
+    obs_bf = obs_u.transpose(1, 0, 2)[None].astype(np.complex128)
+    waves = []
+    for s in range(s_num):
+        src_u = _loader_stft(cfg, t_e[s].T)
+        src_bf = src_u.transpose(1, 0, 2)[None].astype(np.complex128)
+        bf = np.asarray(tb.Apply_Beamforming(src_bf, obs_bf))  # [1, T, F]
+        waves.append(_ref_istft(cfg, bf[0].T * scale))
+    separated = np.stack([t_e[s][ref_ch] for s in range(s_num)])
+    return separated, np.stack(waves)
+
+
+def test_utterance_mode_beamforming_parity():
+    """Full utterance-mode cascade vs the reference chain at ported
+    weights on a 2.5-chunk utterance (exercises the gap trim)."""
+    torch.manual_seed(0)
+    en = [24, 32, 32, 32, 32, 64, 128]
+    de = [128, 64, 32, 32, 32, 32, 24]
+    ref_model = tpp.MISO_1(2, 6, 7, en, de, "IN").eval()
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params = tpp.port_miso_state_dict(sd)
+    from misonet_tpu.models import make_miso1
+    from misonet_tpu.config import ModelConfig
+
+    ours = make_miso1(ModelConfig(compute_dtype="float32"))
+
+    cfg = StftConfig()
+    # chunk % hop == 0 like the production 32000: scipy's stft zero-pads
+    # partial frames, and the reference asserts an exact iSTFT round-trip
+    ds = DatasetConfig(chunk_time=0.256, least_time=0.256)
+    chunk = ds.chunk_samples                             # 2048 samples
+    out_len = int(2.5 * chunk)                           # n=3 chunks, gap>0
+    rng = np.random.default_rng(7)
+    mix_wave = rng.standard_normal((out_len, 6)).astype(np.float32) * 0.1
+    refs = rng.standard_normal((2, out_len)).astype(np.float32) * 0.1
+
+    ref_sep, ref_bf = _ref_utterance_chain(
+        ref_model, cfg, mix_wave, refs, chunk, ref_ch=ds.ref_ch
+    )
+
+    ev = CascadeEvaluator(
+        ours, params, cfg, ds, beamform_utterance=True, power_iters=300
+    )
+    res = ev.process(mix_wave, refs)
+
+    # stage 1: stitched ref-mic separation (iSTFT + gap bookkeeping)
+    assert res.separated.shape == ref_sep.shape == (2, out_len)
+    s_scale = np.abs(ref_sep).max()
+    np.testing.assert_allclose(
+        res.separated / s_scale, ref_sep / s_scale, atol=5e-3
+    )
+    # stage 2: utterance-mode beamforming (stitch -> re-STFT -> full SCM
+    # -> MVDR -> iSTFT), including the tail behind the gap trim
+    assert res.beamformed.shape == ref_bf.shape == (2, out_len)
+    b_scale = np.abs(ref_bf).max()
+    np.testing.assert_allclose(
+        res.beamformed / b_scale, ref_bf / b_scale, atol=5e-3
+    )
