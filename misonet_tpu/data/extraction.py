@@ -128,6 +128,72 @@ def extract_utterance(
     return len(mix_chunks)
 
 
+def _extract_corpus_native(
+    specs: list[ExtractionSpec], out_dir: str | Path, chunk: int, least: int
+) -> int | None:
+    """Batch fast path: decode + chunk every wav of the slice with the
+    threaded native packer (native/misonet_native.cpp::pack_shards), one
+    call per role (mix / ref_k / companions), then write the per-chunk
+    npz shards.  Requires the native library and uniform per-role channel
+    counts; returns None to fall back to the per-utterance path.
+
+    Reference equivalent: librosa decode inside Pool(cpu_count())
+    (SMS_WSJ.py:276-280) — here the file list is fanned across C++ decode
+    threads and lands in one preallocated [total_chunks, chunk, C] buffer
+    with no per-chunk python object churn."""
+    from misonet_tpu.data import native
+
+    if not native.available() or not specs:
+        return None
+    num_spks = len(specs[0].source_paths)
+    comp_keys = tuple(k for k, _ in specs[0].companions)
+    if any(
+        len(s.source_paths) != num_spks
+        or tuple(k for k, _ in s.companions) != comp_keys
+        for s in specs
+    ):
+        return None
+
+    roles: dict[str, list[str]] = {"mix": [s.mix_path for s in specs]}
+    for sp in range(num_spks):
+        roles[f"ref{sp + 1}"] = [s.source_paths[sp] for s in specs]
+    for j, key in enumerate(comp_keys):
+        roles[key] = [s.companions[j][1] for s in specs]
+
+    packed: dict[str, np.ndarray] = {}
+    for key, paths in roles.items():
+        try:
+            chs = {native.wav_info(p)[1] for p in paths}
+        except OSError:
+            return None
+        if len(chs) != 1:
+            return None
+        ch = chs.pop()
+        arr = native.pack_shards(paths, chunk, least, ch)
+        if key != "mix" and key != "noise" and arr.shape[-1] > 1:
+            arr = arr[:, :, 0]      # per-speaker roles keep the ref mic
+        elif key != "mix" and arr.shape[-1] == 1:
+            arr = arr[:, :, 0]
+        packed[key] = arr
+
+    counts = native.chunk_counts(roles["mix"], chunk, least)
+    total = sum(counts)
+    if any(p.shape[0] != total for p in packed.values()):
+        return None                 # role lengths disagree — let the
+                                    # per-utterance path raise precisely
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    off = 0
+    for spec, cnt in zip(specs, counts):
+        for i in range(cnt):
+            payload = {
+                key: packed[key][off + i] for key in roles
+            }
+            np.savez(out / f"{spec.utt_id}_chunk{i:03d}.npz", **payload)
+        off += cnt
+    return total
+
+
 def extract_corpus(
     specs: list[ExtractionSpec],
     out_dir: str | Path,
@@ -141,8 +207,21 @@ def extract_corpus(
     """Extract a corpus slice.  Each host takes utterances
     ``specs[host_index::host_count]`` (per-host input sharding); within a
     host a process pool fans out utterances when ``workers`` > 1.
-    ``use_native`` selects the C++ wav decoder (None = auto)."""
+    ``use_native`` selects the C++ data path (None = auto): when the
+    native library is built and the corpus has uniform per-role channel
+    counts, the whole slice is decoded + chunked by the threaded batch
+    packer (native pack_shards) in one pass instead of per-utterance
+    python decode."""
     mine = specs[host_index::host_count]
+    if use_native is not False:
+        n = _extract_corpus_native(mine, out_dir, chunk, least)
+        if n is not None:
+            return n
+        if use_native:
+            raise RuntimeError(
+                "use_native=True but the native batch packer is "
+                "unavailable or the corpus is not role-uniform"
+            )
     if workers and workers > 1:
         with ProcessPoolExecutor(max_workers=workers) as pool:
             counts = list(

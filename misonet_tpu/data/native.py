@@ -96,6 +96,23 @@ def read_wav_native(path: str | Path) -> tuple[np.ndarray, int]:
     return (out[:, 0] if ch == 1 else out), rate
 
 
+def chunk_counts(
+    paths: list[str | Path], chunk: int, least: int
+) -> list[int]:
+    """Per-file train-chunk counts (windows advance by ``least``; tails in
+    [least, chunk) count — the exact geometry of ops.chunk.train_chunks
+    and the native chunk_count)."""
+    counts = []
+    for p in paths:
+        frames, _, _ = wav_info(p)
+        c, start = 0, 0
+        while frames - start >= least:
+            c += 1
+            start += least
+        counts.append(c)
+    return counts
+
+
 def pack_shards(
     paths: list[str | Path],
     chunk: int,

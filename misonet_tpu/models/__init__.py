@@ -4,5 +4,4 @@ from misonet_tpu.models.miso import (
     make_miso2,
     make_miso3,
     enhance_input,
-    training_variant,
 )

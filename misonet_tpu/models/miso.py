@@ -256,28 +256,6 @@ def make_miso3(cfg: ModelConfig, sp_mesh=None) -> MISONet:
     return MISONet(cfg=cfg, num_spks=1, sp_mesh=sp_mesh)
 
 
-def training_variant(model: MISONet) -> MISONet:
-    """The model variant to differentiate through in training steps.
-
-    With ``flat_dense="auto"`` the fused Pallas path is a *forward* win
-    (13.5 vs 29.8 ms at the production geometry) but its custom-VJP
-    backward pays per-call flat<->NHWC layout conversions in the linear
-    twins, and the full train step measures slower than the plain XLA
-    path end to end (83.4 vs 65.1 ms fwd+bwd+Adam, PERF.md round 3).
-    So "auto" training takes
-    the XLA path while forward-only consumers (inference decode, eval
-    steps, the frozen-MISO1 feature stage) keep the fused kernels — the
-    two paths share one parameter tree, so this is purely a compute-path
-    choice.  Explicit True/False settings are respected unchanged."""
-    if model.cfg.flat_dense == "auto":
-        import dataclasses
-
-        return model.clone(
-            cfg=dataclasses.replace(model.cfg, flat_dense=False)
-        )
-    return model
-
-
 def enhance_input(
     mixture: jnp.ndarray, miso1: jnp.ndarray, bf: jnp.ndarray
 ) -> jnp.ndarray:

@@ -74,3 +74,43 @@ def test_pack_shards_threaded_determinism(tmp_path):
     a = native.pack_shards(paths, 2000, 1000, 2, num_threads=1)
     b = native.pack_shards(paths, 2000, 1000, 2, num_threads=8)
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_corpus_extraction_matches_python(tmp_path):
+    """extract_corpus's native batch path (pack_shards across roles) must
+    write byte-identical npz shards to the per-utterance python path."""
+    from misonet_tpu.data.extraction import ExtractionSpec, extract_corpus
+
+    rng = np.random.default_rng(4)
+    specs = []
+    for i, n in enumerate([5000, 2100, 1999]):
+        mix = tmp_path / f"u{i}.wav"
+        _make_wav(mix, rng, n=n, ch=6)
+        srcs = []
+        for s in range(2):
+            p = tmp_path / f"u{i}_{s}.wav"
+            _make_wav(p, rng, n=n, ch=6)
+            srcs.append(str(p))
+        noise = tmp_path / f"u{i}_noise.wav"
+        _make_wav(noise, rng, n=n, ch=6)
+        specs.append(
+            ExtractionSpec(
+                f"u{i}", str(mix), tuple(srcs), (("noise", str(noise)),)
+            )
+        )
+
+    out_nat = tmp_path / "nat"
+    out_py = tmp_path / "py"
+    n_nat = extract_corpus(specs, out_nat, 2000, 1000, use_native=True)
+    n_py = extract_corpus(specs, out_py, 2000, 1000, use_native=False)
+    assert n_nat == n_py > 0
+
+    nat_files = sorted(p.name for p in out_nat.glob("*.npz"))
+    py_files = sorted(p.name for p in out_py.glob("*.npz"))
+    assert nat_files == py_files
+    for name in nat_files:
+        a = np.load(out_nat / name)
+        b = np.load(out_py / name)
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{name}:{k}")
