@@ -13,7 +13,8 @@ the reference's Pool(cpu_count()) (SMS_WSJ.py:276-280).
 from __future__ import annotations
 
 import dataclasses
-from concurrent.futures import ProcessPoolExecutor
+import os
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -183,14 +184,24 @@ def _extract_corpus_native(
                                     # per-utterance path raise precisely
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    jobs = []
     off = 0
     for spec, cnt in zip(specs, counts):
         for i in range(cnt):
-            payload = {
-                key: packed[key][off + i] for key in roles
-            }
-            np.savez(out / f"{spec.utt_id}_chunk{i:03d}.npz", **payload)
+            jobs.append((spec.utt_id, i, off + i))
         off += cnt
+
+    def _write(job):
+        utt, i, row = job
+        np.savez(
+            out / f"{utt}_chunk{i:03d}.npz",
+            **{key: packed[key][row] for key in roles},
+        )
+
+    # shard writing is file IO — np.savez releases the GIL in write();
+    # threads overlap it like the reference's Pool overlaps librosa+pickle
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as tp:
+        list(tp.map(_write, jobs))
     return total
 
 
@@ -207,21 +218,23 @@ def extract_corpus(
     """Extract a corpus slice.  Each host takes utterances
     ``specs[host_index::host_count]`` (per-host input sharding); within a
     host a process pool fans out utterances when ``workers`` > 1.
-    ``use_native`` selects the C++ data path (None = auto): when the
-    native library is built and the corpus has uniform per-role channel
-    counts, the whole slice is decoded + chunked by the threaded batch
-    packer (native pack_shards) in one pass instead of per-utterance
-    python decode."""
+    ``use_native=True`` routes the whole slice through the C++ batch
+    packer (native pack_shards): one threaded decode+chunk pass per role
+    into preallocated buffers, then threaded shard writes.  Byte-identical
+    output (tests/test_native.py); measured on this 2-CPU container the
+    ProcessPool python path is still faster end-to-end (shard WRITING
+    dominates and fans across processes), so the default (None = auto)
+    keeps the pool and only auto-enables the native wav *decoder* inside
+    it — the packer is for decode-bound many-core hosts."""
     mine = specs[host_index::host_count]
-    if use_native is not False:
+    if use_native is True:
         n = _extract_corpus_native(mine, out_dir, chunk, least)
         if n is not None:
             return n
-        if use_native:
-            raise RuntimeError(
-                "use_native=True but the native batch packer is "
-                "unavailable or the corpus is not role-uniform"
-            )
+        raise RuntimeError(
+            "use_native=True but the native batch packer is "
+            "unavailable or the corpus is not role-uniform"
+        )
     if workers and workers > 1:
         with ProcessPoolExecutor(max_workers=workers) as pool:
             counts = list(

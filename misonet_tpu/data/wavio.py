@@ -30,11 +30,48 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     return data, sr
 
 
-def write_wav(path: str | Path, data: np.ndarray, sample_rate: int) -> None:
-    """Write float [-1,1] (or already-int16) audio as int16 PCM, matching the
-    reference's MaxINT16 quantization (tester.py:156-157)."""
+def write_wav(
+    path: str | Path,
+    data: np.ndarray,
+    sample_rate: int,
+    subtype: str = "PCM_16",
+) -> None:
+    """Write float [-1,1] (or already-int16) audio, matching the
+    reference's MaxINT16 quantization (tester.py:156-157).
+
+    ``subtype="PCM_24"`` reproduces the reference's on-disk byte format
+    (soundfile 'PCM_24', tester.py:157,181): the int16-quantized samples
+    are shifted into the top bytes of 24-bit frames — identical numerics,
+    identical bytes to soundfile's int16 -> 24-bit promotion."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     if data.dtype != np.int16:
         data = np.clip(data, -1.0, 1.0)
         data = (data * MAX_INT16).astype(np.int16)
-    wf.write(str(path), sample_rate, data)
+    if subtype == "PCM_16":
+        wf.write(str(path), sample_rate, data)
+    elif subtype == "PCM_24":
+        _write_pcm24(Path(path), data, sample_rate)
+    else:
+        raise ValueError(f"unsupported subtype {subtype!r}")
+
+
+def _write_pcm24(path: Path, data: np.ndarray, sample_rate: int) -> None:
+    """Minimal RIFF writer for 24-bit PCM (scipy.io.wavfile cannot emit
+    it): int16 samples promoted by an 8-bit left shift, frames packed as
+    3 little-endian bytes."""
+    import struct
+
+    if data.ndim == 1:
+        data = data[:, None]
+    frames, ch = data.shape
+    # int16 -> int32 << 8, then take the low 3 bytes of each sample
+    s32 = (data.astype(np.int32) << 8).astype("<i4")
+    raw = s32.view(np.uint8).reshape(frames, ch, 4)[:, :, :3].tobytes()
+    byte_rate = sample_rate * ch * 3
+    block_align = ch * 3
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, block_align, 24
+    )
+    hdr += b"data" + struct.pack("<I", len(raw))
+    path.write_bytes(hdr + raw)

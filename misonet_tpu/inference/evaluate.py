@@ -196,17 +196,11 @@ class CascadeEvaluator:
     def _chain_alignment(self, miso1_ref: jnp.ndarray) -> jnp.ndarray:
         """Align each chunk's speaker order to the previous chunk's (refless
         continuous operation — new capability; the reference always aligns
-        to clean sources)."""
-        n, s = miso1_ref.shape[:2]
-        mags = jnp.sqrt(miso1_ref.real**2 + miso1_ref.imag**2)
-        idx = [jnp.arange(s)]
-        for i in range(1, n):
-            prev = jnp.take(mags[i - 1], idx[-1], axis=0)
-            d = jnp.sum(
-                jnp.abs(prev[:, None] - mags[i][None, :]), axis=(-2, -1)
-            )[None]                                      # [1, S, S]
-            idx.append(align_slots(d)[0])
-        return jnp.stack(idx)                            # [N, S]
+        to clean sources).  One jitted lax.scan over chunks: the python
+        per-chunk loop paid one dispatch + device sync per 4 s chunk,
+        which serialized exactly the long-form recordings this path
+        exists for."""
+        return _chain_alignment_scan(miso1_ref)
 
     def _stitch(
         self, spec: jnp.ndarray, n: int, gap: int, out_len: int
@@ -330,10 +324,13 @@ class CascadeEvaluator:
         out_dir: str | Path,
         write: bool = True,
         max_utts: int | None = None,
+        wav_subtype: str = "PCM_16",
     ) -> dict[str, float]:
         """Run over extraction specs (mix + source paths), write per-stage
         wavs like the reference testers ('<utt>_0.wav'/'_1.wav',
-        tester.py:181-183), return mean per-stage SI-SDR."""
+        tester.py:181-183), return mean per-stage SI-SDR.
+        ``wav_subtype="PCM_24"`` reproduces the reference's on-disk byte
+        format (tester.py:157)."""
         out = Path(out_dir)
         agg: dict[str, list[float]] = {}
         for spec in specs[:max_utts]:
@@ -357,8 +354,27 @@ class CascadeEvaluator:
                             out / stage / f"{spec.utt_id}_{sp}.wav",
                             est[sp],
                             fs,
+                            subtype=wav_subtype,
                         )
         return {k: float(np.mean(v)) for k, v in agg.items()}
+
+
+@jax.jit
+def _chain_alignment_scan(miso1_ref: jnp.ndarray) -> jnp.ndarray:
+    """[N, S, T, F] chunk estimates -> [N, S] slot indices chaining each
+    chunk's speakers to the previous (aligned) chunk's magnitudes."""
+    s = miso1_ref.shape[1]
+    mags = jnp.sqrt(miso1_ref.real**2 + miso1_ref.imag**2)
+
+    def body(prev, mag_i):
+        d = jnp.sum(
+            jnp.abs(prev[:, None] - mag_i[None, :]), axis=(-2, -1)
+        )[None]                                          # [1, S, S]
+        idx = align_slots(d)[0]
+        return jnp.take(mag_i, idx, axis=0), idx
+
+    _, idxs = jax.lax.scan(body, mags[0], mags[1:])
+    return jnp.concatenate([jnp.arange(s)[None], idxs], axis=0)
 
 
 def _pit_si_sdr(est: np.ndarray, refs: np.ndarray) -> float:

@@ -37,20 +37,20 @@ def time_train(name, model, mix, ref, n_small, n_large):
         est = model.apply(params, mix)
         return loss_upit(est, ref)
 
-    # chain through mix so the scan cannot be hoisted: perturb input
+    # chain through mix so the scan cannot be hoisted: perturb input.
+    # EVERY gradient leaf must stay live (optax.global_norm) — consuming a
+    # single leaf lets XLA dead-code-eliminate most of the weight-gradient
+    # convolutions and under-measures the backward (this bug made the r3
+    # numbers 65.1/83.4 ms; honest protocol: bench_train_variants.py).
+    import optax
+
     @partial(jax.jit, static_argnums=3)
     def loop2(params, mix, ref, n):
         def body(carry, _):
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, mix + carry.astype(mix.dtype), ref
             )
-            gn = jnp.sum(
-                jnp.square(
-                    grads["params"]["enc0"]["Conv_0"]["bias"].astype(
-                        jnp.float32
-                    )
-                )
-            )
+            gn = optax.global_norm(grads)
             return loss * 1e-12 + gn * 1e-12, ()
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)

@@ -95,3 +95,35 @@ def test_stacked_multi_tensor_bundle_matches_plain():
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_stacked_bf16_forward_error_bound():
+    """bf16 (precise=False) stacked forward vs the f32 plain DenseBlock:
+    the partial-preactivation accumulator rides HBM in bf16 across up to
+    4 calls, so the inference path's drift must stay within the bf16
+    accumulation class (ADVICE r3: previously only the precise path was
+    forward-tested, leaving bf16 accumulator regressions uncaught)."""
+    b, t, f = 2, 10, 7
+    g1, g2 = 8, 16
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((b, t, f, 8)).astype(np.float32))
+
+    plain = DenseBlock(g1, g2)
+    params = plain.init(jax.random.key(0), x)
+    ref = np.asarray(plain.apply(params, x))
+
+    flat = DenseBlockFlat(g1, g2)
+    with pltpu.force_tpu_interpret_mode():
+        bundle = to_flat_bundle(x, normalized=True, tile_m=256,
+                                dtype=jnp.bfloat16)
+        y, sc, mn = flat.apply(params, bundle, t=t, f=f, tile_m=256,
+                               precise=False)
+        out = np.asarray(
+            from_flat_bundle((y, sc, mn), t, f, jnp.float32, tile_m=256)
+        )
+
+    scale = np.abs(ref).max()
+    # bf16 inputs + bf16 HBM accumulator: ~1e-2 relative class
+    np.testing.assert_allclose(out / scale, ref / scale, atol=4e-2)
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.999, corr
