@@ -59,14 +59,23 @@ from misonet_tpu.ops.pallas.conv_flat import _flat_geometry, slack_for
 from misonet_tpu.ops.pallas.dense_flat import _round_up
 
 
-def _shift_piece(src, s, tile_m, slack):
-    """[rows, tile_m] piece of window ``src`` at lane shift ``s`` relative
-    to the output column (window covers [tile - slack, tile + TM + slack))."""
-    off = slack + s
-    if off % 128 == 0 and off >= 0:
-        return src[:, off : off + tile_m]
+def _piece_getter(src, tile_m, slack):
+    """Shared-rotation piece extractor for window ``src``: pieces at lane
+    shifts with equal (slack + s) % 128 share ONE pltpu.roll (the
+    forward's tap_pieces trick — at fp % 128 == 0 all 9 stencil taps need
+    only 3 rotations).  get(s)[i] = src[i + slack + s]."""
     w_win = src.shape[-1]
-    return pltpu.roll(src, w_win - off, 1)[:, :tile_m]
+    cache = {}
+
+    def get(s):
+        off = slack + s
+        r = off % 128
+        if r not in cache:
+            cache[r] = src if r == 0 else pltpu.roll(src, w_win - r, 1)
+        q = off - r
+        return cache[r][:, q : q + tile_m]
+
+    return get
 
 
 def _kernel(g_rows, g_blocks, x_rows, x_offs, x_mask_fs, dtaps, wtaps,
@@ -176,12 +185,13 @@ def _kernel(g_rows, g_blocks, x_rows, x_offs, x_mask_fs, dtaps, wtaps,
             g_parts[0] if len(g_parts) == 1
             else jnp.concatenate(g_parts, axis=0)
         )
-        g_center = _shift_piece(g_full, 0, tile_m, slack).astype(pdt)
+        g_piece = _piece_getter(g_full, tile_m, slack)
+        g_center = g_piece(0).astype(pdt)
 
         # ---- dgrad: G = sum_k Wt_k @ g_piece(shift_k) --------------------
         acc = None
         for k, (shift, gate) in enumerate(dtaps):
-            piece = _shift_piece(g_full, shift, tile_m, slack)
+            piece = g_piece(shift)
             if gate is not None:
                 lo, hi = gate
                 fcg = (
@@ -220,12 +230,14 @@ def _kernel(g_rows, g_blocks, x_rows, x_offs, x_mask_fs, dtaps, wtaps,
             sdxx_ref[0, off : off + c, :] += jnp.sum(
                 dxn * x_center, axis=1, keepdims=True
             )
-            scaled_wins[i] = x_wins[i][slot][:, :].astype(jnp.float32) * sc
+            scaled_wins[i] = _piece_getter(
+                x_wins[i][slot][:, :].astype(jnp.float32) * sc, tile_m, slack
+            )
 
         # ---- wgrad: one tall patch matmul against the centered cotangent -
         parts = []
         for xi, shift, gate in wtaps:
-            piece = _shift_piece(scaled_wins[xi], shift, tile_m, slack)
+            piece = scaled_wins[xi](shift)
             if gate is not None:
                 lo, hi = gate
                 fc0 = (
