@@ -58,6 +58,13 @@ def main() -> None:
     ap.add_argument("-n", "--logdir", default="logs/run")
     ap.add_argument("--max-utts", type=int, default=None)
     ap.add_argument(
+        "--wav-subtype",
+        default="PCM_16",
+        choices=("PCM_16", "PCM_24"),
+        help="output wav sample format; PCM_24 reproduces the reference's "
+        "on-disk byte format (tester.py:157)",
+    )
+    ap.add_argument(
         "--split",
         default=None,
         help="corpus split directory under rootdir (the reference walks "
@@ -288,7 +295,8 @@ def _test(cfg, args) -> None:
     # dispatch (run.py:245-250, tester.py:44-79); --split overrides.
     specs = _discover(cfg, args.split or ds.test_file)
     scores = ev.evaluate_corpus(
-        specs, Path(args.logdir) / "wav_out", max_utts=args.max_utts
+        specs, Path(args.logdir) / "wav_out", max_utts=args.max_utts,
+        wav_subtype=args.wav_subtype,
     )
     print("mean SI-SDR per stage:", scores)
 

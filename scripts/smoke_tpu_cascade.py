@@ -77,9 +77,10 @@ def main():
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         return loss, optax.global_norm(grads)
 
-    loss, gn = check("MISO3 fused train step (loss, grad_norm)",
-                     lambda: jnp.stack([*train_step(state, x3, ref)]))
-    print(f"loss={float(loss[0]):.4f} grad_norm={float(loss[1]):.4f}")
+    out = check("MISO3 fused train step (loss, grad_norm)",
+                lambda: jnp.stack([*train_step(state, x3, ref)]))
+    host = np.asarray(out)
+    print(f"loss={host[0]:.4f} grad_norm={host[1]:.4f}")
 
 
 if __name__ == "__main__":

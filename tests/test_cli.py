@@ -186,8 +186,18 @@ def test_cli_train_miso1(corpus_and_config):
 @pytest.mark.slow
 def test_cli_test_miso1(corpus_and_config):
     root, cfg = corpus_and_config
+    if not (root / "model_result/miso1/best").exists():
+        # self-contained when run without test_cli_train_miso1 (-k/-x runs)
+        _run(["-c", str(cfg), "-m", "Train", "-t", "MISO1",
+              "-n", str(root / "logs")], ROOT)
     # tiny model config must also drive _load_miso1's probe width via config
     _run(["-c", str(cfg), "-m", "Test", "-t", "MISO1",
-          "-n", str(root / "eval"), "--max-utts", "1"], ROOT)
+          "-n", str(root / "eval"), "--max-utts", "1",
+          "--wav-subtype", "PCM_24"], ROOT)
     wavs = list((root / "eval" / "wav_out").rglob("*.wav"))
     assert len(wavs) >= 2
+    # PCM_24 wavs read back identically to the int16 quantization
+    from misonet_tpu.data.wavio import read_wav
+
+    data, sr = read_wav(wavs[0])
+    assert np.isfinite(data).all() and sr > 0
