@@ -1,11 +1,13 @@
-"""Pallas TPU kernel: 3x3 SAME conv on a lane-flattened (T, F) layout.
+"""The lane-flattened (T, F) layout: geometry and framing helpers shared
+by every fused Pallas kernel in this package (dense_flat.py,
+dense_stack.py, stencil_flat.py, stencil_bwd.py).
 
 This is the MXU-shaped formulation of the MISO-net dense convolutions
 (reference model.py:437-482), whose 24-32 output channels leave XLA's
 direct conv at ~8% MXU utilization (PERF.md): with out-channels on the
 *lane* axis every matmul pads N to 128, capping utilization at N/128.
 
-Here the conv runs transposed, out = W[N, 9C] @ P[9C, M]:
+The kernels run the conv transposed, out = W[N, 9C] @ P[9C, M]:
 
   * the spectrogram is flattened to position columns ``col = t*Fp + f``
     with the time-frequency axis on *lanes* (dense 128-aligned tiles)
@@ -35,13 +37,7 @@ pad column, which is zero.
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 def slack_for(fp: int) -> int:
     """Window slack: smallest multiple of 128 covering the max tap shift
@@ -76,150 +72,7 @@ def unflatten_tf(y: jnp.ndarray, t: int, f: int, tile_m: int = 2048) -> jnp.ndar
     return y.transpose(0, 2, 3, 1)
 
 
-def load_window(x_hbm, win_ref, sem, bb, mm, tile_m, slack):
-    """Start the [C, TM + 2*slack] window DMA for data tile mm (0-based).
-    Window covers positions [mm*TM - slack, mm*TM + TM + slack); the
-    array's pad blocks make the source always in-bounds and the offset
-    is a multiple of 128."""
-    copy = pltpu.make_async_copy(
-        x_hbm.at[bb, :, pl.ds(mm * tile_m + tile_m - slack,
-                              tile_m + 2 * slack)],
-        win_ref,
-        sem,
-    )
-    copy.start()
-    return copy
-
-
-def tap_patches(dst_ref, src, rows, fp, tile_m, to_dtype):
-    """Write the 9 tap patches of window ``src`` [rows, TM+2*SLACK] into
-    ``dst_ref`` [9*rows, TM] (sublane-blocked by tap j = 3*dt + df).
-    Returns the center-tap piece as f32.
-
-    Window index of position (tile offset i, tap (dt, df)) is
-    ``i + slack + (dt-1)*fp + (df-1)``.  When fp is a multiple of 128
-    the dt-shifts are lane-tile-aligned, so 3 rotations (one per df)
-    cover all 9 taps via aligned slices; otherwise 9 rotations."""
-    w_win = src.shape[-1]
-    slack = (w_win - tile_m) // 2
-    center = None
-    if fp % 128 == 0:
-        for df in range(3):
-            s0 = slack - fp + df - 1
-            rolled = pltpu.roll(src, w_win - s0, 1)
-            for dt in range(3):
-                j = 3 * dt + df
-                piece = rolled[:, dt * fp : dt * fp + tile_m]
-                dst_ref[j * rows : (j + 1) * rows, :] = piece.astype(to_dtype)
-                if dt == 1 and df == 1:
-                    center = piece
-    else:
-        for dt in range(3):
-            for df in range(3):
-                j = 3 * dt + df
-                s = slack + (dt - 1) * fp + (df - 1)
-                rolled = pltpu.roll(src, w_win - s, 1)
-                piece = rolled[:, :tile_m]
-                dst_ref[j * rows : (j + 1) * rows, :] = piece.astype(to_dtype)
-                if dt == 1 and df == 1:
-                    center = piece
-    return center
-
-
-def _conv_kernel(c, n, n_m, tile_m, fp, m_out, f, fuse_elu,
-                 x_hbm, w_ref, b_ref, o_ref, win_ref, p_ref, sem):
-    bb = pl.program_id(0)
-    m = pl.program_id(1)          # 0 and n_m+1 are pad blocks
-
-    @pl.when((m == 0) | (m == n_m + 1))
-    def _():
-        o_ref[0] = jnp.zeros_like(o_ref[0])
-
-    @pl.when((m > 0) & (m <= n_m))
-    def _():
-        mm = m - 1
-        slack = (win_ref.shape[-1] - tile_m) // 2
-        copy = load_window(x_hbm, win_ref, sem, bb, mm, tile_m, slack)
-        copy.wait()
-        tap_patches(p_ref, win_ref[:, :], c, fp, tile_m, p_ref.dtype)
-        acc = jax.lax.dot_general(
-            w_ref[:, :], p_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc + b_ref[:, :]
-        if fuse_elu:
-            # expm1 has no Mosaic lowering; exp(x)-1 is fine for x <= 0
-            acc = jnp.where(acc > 0, acc, jnp.exp(jnp.minimum(acc, 0.0)) - 1.0)
-        # zero the F-gap and tail columns
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, tile_m), 1) + mm * tile_m
-        valid = ((col % fp) < f) & (col < m_out)
-        o_ref[0] = jnp.where(valid, acc, 0.0).astype(o_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("t", "f", "tile_m", "fuse_elu", "out_dtype"),
-)
-def conv3x3_flat(
-    x_flat: jnp.ndarray,
-    w: jnp.ndarray,
-    bias: jnp.ndarray,
-    *,
-    t: int,
-    f: int,
-    tile_m: int = 2048,
-    fuse_elu: bool = False,
-    out_dtype=jnp.float32,
-) -> jnp.ndarray:
-    """3x3 stride-1 SAME conv over the flat layout.
-
-    x_flat  [B, C, Wx] f32 from :func:`flatten_tf` (C <= 128)
-    w       [3, 3, C, N] (HWIO, as flax nn.Conv stores it)
-    bias    [N]
-    returns [B, N, Wx] ``out_dtype`` in the same framing, gap/tail/pad
-    columns zeroed.
-    """
-    b, c, _ = x_flat.shape
-    n = w.shape[-1]
-    fp, m_out, n_m, x_width = _flat_geometry(t, f, tile_m)
-    assert x_flat.shape[2] == x_width, (x_flat.shape, x_width)
-    slack = slack_for(fp)
-    assert slack <= tile_m, (slack, tile_m)
-    w2 = w.reshape(9 * c, n).T.astype(jnp.bfloat16)
-    b2 = bias.reshape(n, 1).astype(jnp.float32)
-
-    kern = functools.partial(
-        _conv_kernel, c, n, n_m, tile_m, fp, m_out, f, fuse_elu
-    )
-    return pl.pallas_call(
-        kern,
-        grid=(b, n_m + 2),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((n, 9 * c), lambda bb, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda bb, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n, tile_m), lambda bb, m: (bb, 0, m),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n, x_width), jnp.dtype(out_dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((c, tile_m + 2 * slack), x_flat.dtype),
-            pltpu.VMEM((9 * c, tile_m), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(x_flat, w2, b2)
-
-
-def conv3x3_nhwc_via_flat(
-    x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
-    tile_m: int = 2048, fuse_elu: bool = False,
-) -> jnp.ndarray:
-    """Convenience NHWC wrapper (flatten -> kernel -> unflatten)."""
-    b, t, f, c = x.shape
-    xf = flatten_tf(x, tile_m)
-    y = conv3x3_flat(xf, w, bias, t=t, f=f, tile_m=tile_m, fuse_elu=fuse_elu)
-    return unflatten_tf(y, t, f, tile_m)
+# (The original standalone per-conv kernel this module shipped in round 1
+# was superseded by the fused DenseBlock/stencil kernels — dense_flat.py,
+# dense_stack.py, stencil_flat.py — which share the framing above; only
+# the layout/geometry helpers remain here.)

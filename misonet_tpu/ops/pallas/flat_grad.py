@@ -180,52 +180,11 @@ def _deconv_up_twin(t, f_in, tile_m, fuse_elu, pdt, x, w, bias, scale, mean,
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp assembly
+# custom_vjp assembly: fused Pallas backward (stencil_bwd.py) per op.
+# (The per-layer dense kernel — dense_flat.dense_layer_flat — has no AD
+# wrapper anymore: production dense blocks route through dense_stack.py,
+# which carries its own fused backward.)
 # ---------------------------------------------------------------------------
-
-
-def _make_ad(kernel_fn, linear_fn, fuse_elu):
-    """primal = Pallas kernel; backward = stats/ELU cotangent folding from
-    the saved raw output + VJP of the linear twin (no forward recompute)."""
-
-    @jax.custom_vjp
-    def fn(*args):
-        return tuple(kernel_fn(*args))
-
-    def fwd(*args):
-        out = tuple(kernel_fn(*args))
-        return out, (args, out[0])
-
-    def bwd(res, cts):
-        args, y = res
-        ybar, sbar, qbar = cts
-        y32 = y.astype(jnp.float32)
-        g_y = ybar.astype(jnp.float32) + sbar + 2.0 * y32 * qbar
-        if fuse_elu:
-            # elu'(z) = 1 for z > 0, e^z = y + 1 otherwise
-            g_z = g_y * jnp.where(y32 > 0, 1.0, y32 + 1.0)
-        else:
-            g_z = g_y
-        _, vjp = jax.vjp(linear_fn, *args)
-        return vjp(g_z)
-
-    fn.defvjp(fwd, bwd)
-    return fn
-
-
-@functools.lru_cache(maxsize=None)
-def _dense_ad(t, f, tile_m, fuse_elu, precise):
-    from misonet_tpu.ops.pallas.dense_flat import dense_layer_flat
-
-    def kernel(xs, w, bias, scale, mean):
-        return dense_layer_flat(
-            xs, w, bias, scale, mean,
-            t=t, f=f, tile_m=tile_m, fuse_elu=fuse_elu,
-            want_stats=True, precise=precise,
-        )
-
-    lin = functools.partial(_dense_linear, t, f, tile_m, precise)
-    return _make_ad(kernel, lin, fuse_elu)
 
 
 def _fold_cts(y, ybar, sbar, qbar, fuse_elu, pdt):
@@ -670,16 +629,6 @@ def final_deconv_flat_ad(x, w, bias, scale, mean, *, t, f, tile_m,
     y = _final_ad(t, f, tile_m, precise)(x, w, bias, scale, mean)
     y128 = final_bin128(x, w, bias, scale, mean, t=t, f=f, tile_m=tile_m)
     return y, y128
-
-
-def dense_layer_flat_ad(xs, w, bias, scale, mean, *, t, f, tile_m=2048,
-                        fuse_elu=True, precise=False):
-    """Differentiable dense_layer_flat (want_stats always on)."""
-    if not isinstance(xs, (tuple, list)):
-        xs = (xs,)
-    return _dense_ad(t, f, tile_m, fuse_elu, precise)(
-        tuple(xs), w, bias, scale, mean
-    )
 
 
 def conv_down_flat_ad(x_even, x_odd, w, bias, scale, mean, *, t, f_in,
