@@ -135,8 +135,15 @@ def main() -> None:
         metric = "miso1_separation_throughput"
 
     audio_s_per_s = b * chunk_seconds / dt
+    # --train compares against the plain-XLA train step measured under the
+    # same protocol (BENCH_TRAIN_BASELINE.json) — the upstream repo
+    # publishes no training throughput, and dividing a train number by the
+    # forward-only CPU baseline would be apples-to-oranges.
+    baseline_file = (
+        "BENCH_TRAIN_BASELINE.json" if train else "BENCH_BASELINE.json"
+    )
     baseline = json.loads(
-        (Path(__file__).parent / "BENCH_BASELINE.json").read_text()
+        (Path(__file__).parent / baseline_file).read_text()
     )["audio_seconds_per_s"]
 
     print(

@@ -162,14 +162,21 @@ def _extract_corpus_native(
         roles[key] = [s.companions[j][1] for s in specs]
 
     packed: dict[str, np.ndarray] = {}
+    counts = None
     for key, paths in roles.items():
         try:
-            chs = {native.wav_info(p)[1] for p in paths}
+            infos = [native.wav_info(p) for p in paths]  # one header pass
         except OSError:
             return None
+        chs = {ch for _, ch, _ in infos}
         if len(chs) != 1:
             return None
         ch = chs.pop()
+        if key == "mix":
+            counts = [
+                native.chunk_count(frames, chunk, least)
+                for frames, _, _ in infos
+            ]
         arr = native.pack_shards(paths, chunk, least, ch)
         if key != "mix" and key != "noise" and arr.shape[-1] > 1:
             arr = arr[:, :, 0]      # per-speaker roles keep the ref mic
@@ -177,7 +184,6 @@ def _extract_corpus_native(
             arr = arr[:, :, 0]
         packed[key] = arr
 
-    counts = native.chunk_counts(roles["mix"], chunk, least)
     total = sum(counts)
     if any(p.shape[0] != total for p in packed.values()):
         return None                 # role lengths disagree — let the
@@ -227,14 +233,21 @@ def extract_corpus(
     keeps the pool and only auto-enables the native wav *decoder* inside
     it — the packer is for decode-bound many-core hosts."""
     mine = specs[host_index::host_count]
+    if not mine:
+        return 0
     if use_native is True:
+        from misonet_tpu.data import native
+
+        if not native.available():
+            raise RuntimeError(
+                "use_native=True but the native library is not built "
+                "(make -C native)"
+            )
         n = _extract_corpus_native(mine, out_dir, chunk, least)
         if n is not None:
             return n
-        raise RuntimeError(
-            "use_native=True but the native batch packer is "
-            "unavailable or the corpus is not role-uniform"
-        )
+        # non-uniform roles / length mismatch: fall through to the
+        # per-utterance path, which handles (or reports) them precisely
     if workers and workers > 1:
         with ProcessPoolExecutor(max_workers=workers) as pool:
             counts = list(

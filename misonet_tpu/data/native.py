@@ -96,21 +96,25 @@ def read_wav_native(path: str | Path) -> tuple[np.ndarray, int]:
     return (out[:, 0] if ch == 1 else out), rate
 
 
+def chunk_count(frames: int, chunk: int, least: int) -> int:
+    """Train-chunk count for a ``frames``-sample signal — delegates to the
+    native chunk_count when built (single source of the window geometry
+    alongside ops.chunk.train_chunks, which it is parity-tested against)."""
+    lib = _load()
+    if lib is not None:
+        return int(lib.chunk_count(frames, chunk, least))
+    c, start = 0, 0
+    while frames - start >= least:
+        c += 1
+        start += least
+    return c
+
+
 def chunk_counts(
     paths: list[str | Path], chunk: int, least: int
 ) -> list[int]:
-    """Per-file train-chunk counts (windows advance by ``least``; tails in
-    [least, chunk) count — the exact geometry of ops.chunk.train_chunks
-    and the native chunk_count)."""
-    counts = []
-    for p in paths:
-        frames, _, _ = wav_info(p)
-        c, start = 0, 0
-        while frames - start >= least:
-            c += 1
-            start += least
-        counts.append(c)
-    return counts
+    """Per-file train-chunk counts."""
+    return [chunk_count(wav_info(p)[0], chunk, least) for p in paths]
 
 
 def pack_shards(

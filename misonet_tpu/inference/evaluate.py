@@ -51,12 +51,11 @@ def _next_bucket(n: int) -> int:
     return b
 
 
-def _mask_frames(z: jnp.ndarray, t_valid: int) -> jnp.ndarray:
+def _mask_frames(z: jnp.ndarray, t_valid) -> jnp.ndarray:
     """Zero STFT frames at index >= t_valid (the frames a bucket-padded
-    signal has beyond the exact-length scipy framing)."""
+    signal has beyond the exact-length scipy framing).  ``t_valid`` may be
+    a traced scalar."""
     t = z.shape[-2]
-    if t_valid >= t:
-        return z
     keep = (jnp.arange(t) < t_valid)[:, None].astype(z.real.dtype)
     return z * keep
 
@@ -98,12 +97,12 @@ class CascadeEvaluator:
         )
         # bucketed-utterance STFT with the frames past the true signal
         # zeroed: the zero-pad to a bucket length adds ONE frame straddling
-        # the real tail (start t_valid*hop - length/2) that the reference's
-        # exact-length scipy framing never produces — left in, it pollutes
-        # the utterance SCM and skews the MVDR weights globally
+        # the real tail that the reference's exact-length scipy framing
+        # never produces — left in, it pollutes the utterance SCM and
+        # skews the MVDR weights globally.  t_valid is traced (the mask is
+        # elementwise), so the jit signature stays one-per-bucket.
         self._stft_masked = jax.jit(
-            lambda w, tv: _mask_frames(stft_scaled(w, self.stft_cfg), tv),
-            static_argnums=1,
+            lambda w, tv: _mask_frames(stft_scaled(w, self.stft_cfg), tv)
         )
         # jitted enhance apply: eager apply dispatches op-by-op through
         # the device relay (~50 ms each)
@@ -221,7 +220,7 @@ class CascadeEvaluator:
         OLA numerator (they are masked to zero upstream) but WOULD enter
         the window-energy envelope, deflating the final hop's samples
         relative to the reference's exact-length iSTFT."""
-        t_valid = min(spec.shape[-2], out_len // self.stft_cfg.hop + 1)
+        t_valid = min(spec.shape[-2], self.stft_cfg.num_frames(out_len))
         wav = istft_scaled(spec[..., :t_valid, :], self.stft_cfg, out_len)
         return np.asarray(wav)
 
@@ -255,7 +254,10 @@ class CascadeEvaluator:
         stitched = np.pad(stitched, [(0, 0), (0, 0), (0, pad)])
         mix_full = np.pad(mix_wave.T, [(0, 0), (0, bucket - out_len)])
 
-        t_valid = out_len // cfg.hop + 1
+        # exact-length scipy frame count (ceil over the hop — NOT
+        # out_len // hop + 1, which undercounts by one whenever out_len is
+        # not a hop multiple and would zero a REAL tail frame)
+        t_valid = cfg.num_frames(out_len)
         src_stft = self._stft_masked(jnp.asarray(stitched), t_valid)
         mix_stft = self._stft_masked(jnp.asarray(mix_full), t_valid)
         bf = jax.vmap(
@@ -312,7 +314,7 @@ class CascadeEvaluator:
         out_len = n * chunk - gap
         bucket = _next_bucket(max(1, -(-out_len // chunk))) * chunk
         wav = np.pad(wav[:, :out_len], [(0, 0), (0, bucket - out_len)])
-        z = self._stft_masked(jnp.asarray(wav), out_len // cfg.hop + 1)
+        z = self._stft_masked(jnp.asarray(wav), cfg.num_frames(out_len))
         if z.shape[-2] < t_frames:
             z = jnp.pad(z, [(0, 0), (0, t_frames - z.shape[-2]), (0, 0)])
         return z[:, :t_frames]

@@ -424,6 +424,12 @@ def _enc0_bwd(t, tile_m, precise, res, ybar):
     b, c_in, _, f_full = x_cm.shape
     f_out = f_full - 2
     fp, m_out, _, _ = _flat_geometry(t, f_out, tile_m)
+    # the dx_cm re-assembly below rebuilds width fp + 1 from the two
+    # slice gradients; like the forward's enc0_slices it requires the
+    # unpadded framing (all production F ladders satisfy this)
+    assert fp == f_out + 1, (
+        f"enc0 backward needs fp == f_out + 1 (got fp={fp}, f_out={f_out})"
+    )
     pdt = jnp.float32 if precise else jnp.bfloat16
     q = 8 if precise else 16
     n = w.shape[-1]

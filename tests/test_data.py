@@ -151,3 +151,25 @@ def test_companion_extraction(tmp_path):
 
     # without extra_keys the item contract is unchanged
     assert set(ShardDataset(out)[0].keys()) == {"mix", "ref"}
+
+
+def test_pcm24_write_matches_pcm16_quantization(tmp_path):
+    """PCM_24 output (the reference's soundfile byte format, tester.py:157)
+    must read back EXACTLY equal to the PCM_16 write — same int16
+    quantization upstream, 24-bit frames = int16 << 8 on disk."""
+    import numpy as np
+
+    from misonet_tpu.data.wavio import read_wav, write_wav
+
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((3000, 2)) * 0.4).astype(np.float32)
+    write_wav(tmp_path / "a16.wav", x, 8000)
+    write_wav(tmp_path / "a24.wav", x, 8000, subtype="PCM_24")
+    a, sr_a = read_wav(tmp_path / "a16.wav")
+    b, sr_b = read_wav(tmp_path / "a24.wav")
+    assert sr_a == sr_b == 8000
+    np.testing.assert_array_equal(a, b)
+    # mono path
+    write_wav(tmp_path / "m24.wav", x[:, 0], 8000, subtype="PCM_24")
+    m, _ = read_wav(tmp_path / "m24.wav")
+    np.testing.assert_array_equal(m, a[:, 0])

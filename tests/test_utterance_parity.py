@@ -131,9 +131,13 @@ def _ref_utterance_chain(ref_model, cfg, mix_wave, refs, chunk, ref_ch=0):
     return separated, np.stack(waves)
 
 
-def test_utterance_mode_beamforming_parity():
+@pytest.mark.parametrize("extra", [0, -63])
+def test_utterance_mode_beamforming_parity(extra):
     """Full utterance-mode cascade vs the reference chain at ported
-    weights on a 2.5-chunk utterance (exercises the gap trim)."""
+    weights on a 2.5-chunk utterance (exercises the gap trim).  The
+    ``extra=-63`` case makes the utterance length a NON-multiple of the
+    STFT hop — the regime where the exact-length scipy frame count is
+    ceil-based and an off-by-one frame mask silently skews the SCM."""
     torch.manual_seed(0)
     en = [24, 32, 32, 32, 32, 64, 128]
     de = [128, 64, 32, 32, 32, 32, 24]
@@ -150,7 +154,7 @@ def test_utterance_mode_beamforming_parity():
     # partial frames, and the reference asserts an exact iSTFT round-trip
     ds = DatasetConfig(chunk_time=0.256, least_time=0.256)
     chunk = ds.chunk_samples                             # 2048 samples
-    out_len = int(2.5 * chunk)                           # n=3 chunks, gap>0
+    out_len = int(2.5 * chunk) + extra                   # n=3 chunks, gap>0
     rng = np.random.default_rng(7)
     mix_wave = rng.standard_normal((out_len, 6)).astype(np.float32) * 0.1
     refs = rng.standard_normal((2, out_len)).astype(np.float32) * 0.1
@@ -159,8 +163,12 @@ def test_utterance_mode_beamforming_parity():
         ref_model, cfg, mix_wave, refs, chunk, ref_ch=ds.ref_ch
     )
 
+    # random-weight MISO1 estimates lack the near-rank-1 structure of
+    # trained ones, so the steering power iteration needs far more trips
+    # than production to match float64 eigh (measured: spk-1 error 1.1e-2
+    # at 300 iters -> 5e-5 at 2000 on the non-hop-multiple case)
     ev = CascadeEvaluator(
-        ours, params, cfg, ds, beamform_utterance=True, power_iters=300
+        ours, params, cfg, ds, beamform_utterance=True, power_iters=2000
     )
     res = ev.process(mix_wave, refs)
 
@@ -171,9 +179,13 @@ def test_utterance_mode_beamforming_parity():
         res.separated / s_scale, ref_sep / s_scale, atol=5e-3
     )
     # stage 2: utterance-mode beamforming (stitch -> re-STFT -> full SCM
-    # -> MVDR -> iSTFT), including the tail behind the gap trim
-    assert res.beamformed.shape == ref_bf.shape == (2, out_len)
+    # -> MVDR -> iSTFT), including the tail behind the gap trim.  scipy's
+    # istft returns the hop-padded length (the reference writes that
+    # padded tail to disk, tester.py:446); our evaluator truncates to the
+    # true sample count — compare on the real samples.
+    assert res.beamformed.shape == (2, out_len)
+    assert ref_bf.shape[1] >= out_len
     b_scale = np.abs(ref_bf).max()
     np.testing.assert_allclose(
-        res.beamformed / b_scale, ref_bf / b_scale, atol=5e-3
+        res.beamformed / b_scale, ref_bf[:, :out_len] / b_scale, atol=5e-3
     )
