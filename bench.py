@@ -7,9 +7,12 @@ Default workload is the reference pipeline's hot inference loop — the
 MISO1 forward on 4-second 6-channel chunks ([B, 6, 501, 129] complex
 spectrograms, SURVEY.md §3 hot-loop a).  ``--train`` times the production
 training hot loop instead (fwd + uPIT loss + grads + Adam, reference
-trainer.py:144-212).  ``vs_baseline`` compares against the PyTorch
-reference model forward measured on CPU in this container
-(BENCH_BASELINE.json; north star is >=8x, /root/repo/BASELINE.json).
+trainer.py:144-212).  ``vs_baseline`` compares the forward against the
+PyTorch reference model forward measured on CPU in this container
+(BENCH_BASELINE.json; north star is >=8x, /root/repo/BASELINE.json);
+in --train mode it compares against this framework's plain-XLA train
+step under the identical protocol (BENCH_TRAIN_BASELINE.json — the
+reference publishes no training throughput).
 
 The model is built with ``flat_dense="auto"`` — the production resolver
 (models/flat_dense.py::resolve_flat) that picks the fused Pallas path on

@@ -165,7 +165,10 @@ def _extract_corpus_native(
     counts = None
     for key, paths in roles.items():
         try:
-            infos = [native.wav_info(p) for p in paths]  # one header pass
+            # one python-side header pass per role (uniformity + counts);
+            # pack_shards re-reads headers internally for its offsets —
+            # its C ABI takes offsets it derives itself
+            infos = [native.wav_info(p) for p in paths]
         except OSError:
             return None
         chs = {ch for _, ch, _ in infos}
@@ -248,6 +251,13 @@ def extract_corpus(
             return n
         # non-uniform roles / length mismatch: fall through to the
         # per-utterance path, which handles (or reports) them precisely
+        import warnings
+
+        warnings.warn(
+            "use_native=True: corpus is not role-uniform; falling back to "
+            "the per-utterance extraction path",
+            stacklevel=2,
+        )
     if workers and workers > 1:
         with ProcessPoolExecutor(max_workers=workers) as pool:
             counts = list(
