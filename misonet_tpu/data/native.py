@@ -110,13 +110,6 @@ def chunk_count(frames: int, chunk: int, least: int) -> int:
     return c
 
 
-def chunk_counts(
-    paths: list[str | Path], chunk: int, least: int
-) -> list[int]:
-    """Per-file train-chunk counts."""
-    return [chunk_count(wav_info(p)[0], chunk, least) for p in paths]
-
-
 def pack_shards(
     paths: list[str | Path],
     chunk: int,

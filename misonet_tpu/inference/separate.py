@@ -82,12 +82,3 @@ def make_full_array_decode(model, num_mics: int, ref_ch: int = 0):
     return decode
 
 
-def make_refch_forward(model, ref_ch: int = 0):
-    """Plain single-reference forward (params, mix [B,C,T,F]) ->
-    [B,S,T,F]: the training-path inference (trainer.py:155-159)."""
-
-    @jax.jit
-    def forward(params, mix: jnp.ndarray) -> jnp.ndarray:
-        return model.apply(params, jnp.roll(mix, -ref_ch, axis=1))
-
-    return forward

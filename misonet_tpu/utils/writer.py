@@ -11,7 +11,6 @@ Degrades to a no-op if tensorboardX is unavailable.
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 
 import numpy as np
@@ -30,7 +29,10 @@ class MetricWriter:
             self._tb = SummaryWriter(str(logdir))
         except Exception:
             self._tb = None
-        self._step_t0: float | None = None
+        from misonet_tpu.utils.profiling import StepTimer
+
+        self._timer = StepTimer()
+        self._step_running = False
 
     # -- scalars ----------------------------------------------------------
     def scalar(self, tag: str, value: float, step: int) -> None:
@@ -86,16 +88,22 @@ class MetricWriter:
 
     # -- timing (trainer.py:216-221 equivalent) ---------------------------
     def step_start(self) -> None:
-        self._step_t0 = time.perf_counter()
+        self._timer.start()
+        self._step_running = True
 
     def step_end(self, step: int, audio_seconds: float | None = None) -> None:
-        if self._step_t0 is None:
+        if not self._step_running:
             return
-        dt = time.perf_counter() - self._step_t0
+        dt = self._timer.stop(audio_seconds or 0.0)
         self.scalar("perf/step_ms", dt * 1e3, step)
         if audio_seconds:
-            self.scalar("perf/audio_s_per_s", audio_seconds / dt, step)
-        self._step_t0 = None
+            # rolling-window throughput (utils/profiling.StepTimer): the
+            # north-star audio-s/s metric smoothed over recent steps
+            self.scalar(
+                "perf/audio_s_per_s", self._timer.audio_seconds_per_second,
+                step,
+            )
+        self._step_running = False
 
     def close(self) -> None:
         if self._tb:

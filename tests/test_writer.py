@@ -45,3 +45,23 @@ def test_writer_logs_full_set(tmp_path):
     w.step_end(step=0, audio_seconds=4.0)
     w.close()
     assert any((tmp_path / "tb").iterdir())
+
+
+def test_profiling_utilities():
+    """StepTimer rolling throughput (now backing MetricWriter.step_end)
+    and device_memory_stats return sane values."""
+    import time as _time
+
+    from misonet_tpu.utils.profiling import StepTimer, device_memory_stats
+
+    t = StepTimer(window=3)
+    for _ in range(5):
+        t.start()
+        _time.sleep(0.002)
+        dt = t.stop(audio_seconds=1.0)
+        assert dt > 0
+    assert len(t.samples) == 3             # rolling window
+    assert t.audio_seconds_per_second > 0
+
+    stats = device_memory_stats()
+    assert isinstance(stats, dict) and len(stats) >= 1
