@@ -65,7 +65,12 @@ class StreamingCSS:
         cfg, ds = self.stft_cfg, self.ds
         f, c = cfg.num_bins, ds.num_ch_utilize
         t = cfg.num_frames(ds.chunk_samples)
-        z = jnp.zeros((num_spks, f, c, c), jnp.complex64)
+        # complex zeros assembled ON DEVICE: a host-side complex64 constant
+        # would need a complex device_put, which is UNIMPLEMENTED on this
+        # TPU backend (PERF.md round-1 backend gaps) — found by the
+        # real-chip CSS smoke (scripts/smoke_tpu_css.py)
+        zr = jnp.zeros((num_spks, f, c, c), jnp.float32)
+        z = jax.lax.complex(zr, zr)
         return CSSState(z, z, jnp.float32(0.0), jnp.zeros((num_spks, t, f)))
 
     def _build_step(self):
