@@ -129,23 +129,49 @@ def extract_utterance(
     return len(mix_chunks)
 
 
+# Utterances per native pack_shards call: bounds peak memory to roughly
+# batch * chunks/utt * chunk * C * 4 bytes per role (all roles resident
+# during a batch) instead of the whole host slice — ~64 SMS-WSJ-sized
+# utterances keep the packer under a few GB on any corpus size.
+_NATIVE_BATCH_UTTS = 64
+
+
 def _extract_corpus_native(
     specs: list[ExtractionSpec], out_dir: str | Path, chunk: int, least: int
 ) -> int | None:
-    """Batch fast path: decode + chunk every wav of the slice with the
-    threaded native packer (native/misonet_native.cpp::pack_shards), one
-    call per role (mix / ref_k / companions), then write the per-chunk
-    npz shards.  Requires the native library and uniform per-role channel
-    counts; returns None to fall back to the per-utterance path.
+    """Batch fast path: decode + chunk the slice with the threaded native
+    packer (native/misonet_native.cpp::pack_shards) in bounded batches of
+    ``_NATIVE_BATCH_UTTS`` utterances — one pack_shards call per role per
+    batch, shards written (and buffers released) before the next batch, so
+    peak memory is independent of corpus size.  Requires the native
+    library and uniform per-role channel counts; returns None to fall
+    back to the per-utterance path.
 
     Reference equivalent: librosa decode inside Pool(cpu_count())
-    (SMS_WSJ.py:276-280) — here the file list is fanned across C++ decode
-    threads and lands in one preallocated [total_chunks, chunk, C] buffer
-    with no per-chunk python object churn."""
+    (SMS_WSJ.py:276-280) — here each batch's file list is fanned across
+    C++ decode threads and lands in one preallocated
+    [batch_chunks, chunk, C] buffer with no per-chunk python churn."""
     from misonet_tpu.data import native
 
     if not native.available() or not specs:
         return None
+    total_written = 0
+    for lo in range(0, len(specs), _NATIVE_BATCH_UTTS):
+        n = _extract_native_batch(
+            specs[lo : lo + _NATIVE_BATCH_UTTS], out_dir, chunk, least
+        )
+        if n is None:
+            return None
+        total_written += n
+    return total_written
+
+
+def _extract_native_batch(
+    specs: list[ExtractionSpec], out_dir: str | Path, chunk: int, least: int
+) -> int | None:
+    """One bounded batch of the native fast path (see _extract_corpus_native)."""
+    from misonet_tpu.data import native
+
     num_spks = len(specs[0].source_paths)
     comp_keys = tuple(k for k, _ in specs[0].companions)
     if any(

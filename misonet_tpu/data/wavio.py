@@ -39,10 +39,11 @@ def write_wav(
     """Write float [-1,1] (or already-int16) audio, matching the
     reference's MaxINT16 quantization (tester.py:156-157).
 
-    ``subtype="PCM_24"`` reproduces the reference's on-disk byte format
+    ``subtype="PCM_24"`` reproduces the reference's on-disk sample format
     (soundfile 'PCM_24', tester.py:157,181): the int16-quantized samples
-    are shifted into the top bytes of 24-bit frames — identical numerics,
-    identical bytes to soundfile's int16 -> 24-bit promotion."""
+    are shifted into the top bytes of 24-bit frames — numerically
+    identical to soundfile's int16 -> 24-bit promotion (headers may
+    differ: soundfile emits extra metadata chunks)."""
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     if data.dtype != np.int16:
         data = np.clip(data, -1.0, 1.0)
@@ -69,9 +70,12 @@ def _write_pcm24(path: Path, data: np.ndarray, sample_rate: int) -> None:
     raw = s32.view(np.uint8).reshape(frames, ch, 4)[:, :, :3].tobytes()
     byte_rate = sample_rate * ch * 3
     block_align = ch * 3
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    # RIFF requires word-aligned chunks: odd-sized data gets a zero pad
+    # byte (counted in the RIFF size, NOT in the data chunk size field)
+    pad = b"\x00" if len(raw) % 2 else b""
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw) + len(pad)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
         "<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, block_align, 24
     )
     hdr += b"data" + struct.pack("<I", len(raw))
-    path.write_bytes(hdr + raw)
+    path.write_bytes(hdr + raw + pad)

@@ -52,6 +52,15 @@ class StepTimer:
             self.samples.pop(0)
         return dt
 
+    def discard(self) -> float:
+        """Stop timing WITHOUT adding a sample to the throughput window
+        (for steps with unknown audio content, which would otherwise
+        deflate audio_seconds_per_second)."""
+        assert self._t0 is not None
+        dt = time.perf_counter() - self._t0
+        self._t0 = None
+        return dt
+
     @property
     def audio_seconds_per_second(self) -> float:
         if not self.samples:

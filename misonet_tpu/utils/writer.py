@@ -94,7 +94,12 @@ class MetricWriter:
     def step_end(self, step: int, audio_seconds: float | None = None) -> None:
         if not self._step_running:
             return
-        dt = self._timer.stop(audio_seconds or 0.0)
+        if audio_seconds:
+            dt = self._timer.stop(audio_seconds)
+        else:
+            # time the step but keep the rolling throughput window clean —
+            # a (dt, 0.0) sample would deflate perf/audio_s_per_s
+            dt = self._timer.discard()
         self.scalar("perf/step_ms", dt * 1e3, step)
         if audio_seconds:
             # rolling-window throughput (utils/profiling.StepTimer): the

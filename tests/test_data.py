@@ -173,3 +173,26 @@ def test_pcm24_write_matches_pcm16_quantization(tmp_path):
     write_wav(tmp_path / "m24.wav", x[:, 0], 8000, subtype="PCM_24")
     m, _ = read_wav(tmp_path / "m24.wav")
     np.testing.assert_array_equal(m, a[:, 0])
+
+
+def test_pcm24_odd_data_chunk_is_word_aligned(tmp_path):
+    """RIFF chunks must be word-aligned: a mono PCM_24 file with an odd
+    frame count has an odd data chunk (frames*3 bytes) and needs a zero
+    pad byte, counted in the RIFF size but not the data size field."""
+    import struct
+
+    import numpy as np
+
+    from misonet_tpu.data.wavio import read_wav, write_wav
+
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal(101) * 0.4).astype(np.float32)  # 303-byte data
+    write_wav(tmp_path / "odd.wav", x, 8000, subtype="PCM_24")
+    raw = (tmp_path / "odd.wav").read_bytes()
+    assert len(raw) % 2 == 0                      # file is word-aligned
+    riff_size = struct.unpack("<I", raw[4:8])[0]
+    assert riff_size == len(raw) - 8              # pad counted in RIFF size
+    data_size = struct.unpack("<I", raw[40:44])[0]
+    assert data_size == 101 * 3                   # data size excludes pad
+    y, _ = read_wav(tmp_path / "odd.wav")
+    assert y.shape[0] == 101

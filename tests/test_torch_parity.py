@@ -84,6 +84,55 @@ def test_ported_params_structure_matches_init():
 
 
 @pytest.mark.parametrize("num_ch", [6])
+def test_miso2_forward_parity_with_reference(num_ch):
+    """Joint-enhancement numerical twin: the reference MISO_2 module
+    (model.py:166-278 — mixture C ch + MISO1 both-speaker 2 ch + BF
+    both-speaker 2 ch conditioning, num_spks complex outputs) at identical
+    ported weights vs our make_miso2 + enhance_input.  Pins the
+    conditioning-channel interleave (model.py:243-247: real parts of
+    mix/MISO1/BF then imag parts — which is exactly what the stacked
+    complex packing produces when enhance_input orders channels
+    mix, MISO1, BF) and port_torch for MISO_2 checkpoints."""
+    from model import MISO_2  # reference model.py
+
+    from misonet_tpu.models import enhance_input, make_miso2
+
+    num_spks = 2
+    torch.manual_seed(2)
+    ref_model = MISO_2(num_spks, num_ch, 7, list(EN), list(DE), "IN").eval()
+
+    b, t, f = 1, 40, 129
+    rng = np.random.default_rng(2)
+
+    def cx(c):
+        return (
+            rng.standard_normal((b, c, t, f))
+            + 1j * rng.standard_normal((b, c, t, f))
+        ).astype(np.complex64)
+
+    mix, miso1, bf = cx(num_ch), cx(num_spks), cx(num_spks)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(mix), torch.from_numpy(miso1),
+            torch.from_numpy(bf),
+        ).numpy()
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params = port_miso_state_dict(sd)
+
+    ours_model = make_miso2(ModelConfig(compute_dtype="float32"))
+    stacked = enhance_input(
+        jnp.asarray(mix), jnp.asarray(miso1), jnp.asarray(bf)
+    )
+    ours = np.asarray(ours_model.apply(params, stacked))
+
+    assert ours.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    np.testing.assert_allclose(ours / scale, ref_out / scale, atol=2e-5)
+
+
+@pytest.mark.parametrize("num_ch", [6])
 def test_miso3_forward_parity_with_reference(num_ch):
     """Enhancement-stage numerical twin: the reference MISO_3 module
     (model.py:282-395 — mixture + 1 MISO1 + 1 BF conditioning, one output
