@@ -6,9 +6,12 @@ full-utterance SCM on the host (tester.py:426-441, SURVEY.md §5
 "long-context").  This module is the streaming TPU-native generalization:
 audio arrives in fixed 4 s blocks; each block runs the MISO1 decode; a
 running exponentially-weighted (or cumulative) SCM pair per speaker feeds an
-MVDR whose weights adapt as evidence accumulates; block outputs are
-overlap-stitched.  All state is a small pytree, so the whole per-block
-update is one jitted function — usable online.
+MVDR whose weights adapt as evidence accumulates; block outputs are either
+concatenated edge-to-edge (``overlap=0`` — the reference's chunked
+semantics, tester.py:949-967) or cross-fade overlap-added (``overlap>0``:
+blocks advance by chunk-overlap samples and a triangular fade blends the
+seams, suppressing block-boundary artifacts).  All state is a small pytree,
+so the whole per-block update is one jitted function — usable online.
 """
 
 from __future__ import annotations
@@ -135,20 +138,66 @@ class StreamingCSS:
             np.asarray(istft_scaled(m1, self.stft_cfg, n)),
         )
 
-    def process(self, wave: np.ndarray):
+    def process(self, wave: np.ndarray, overlap: int = 0):
         """Full long-form recording [samples, C] -> dict with stitched
-        per-speaker 'beamformed' and 'miso1' waves [S, samples]."""
+        per-speaker 'beamformed' and 'miso1' waves [S, samples].
+
+        ``overlap`` (samples, < chunk) turns on cross-fade stitching:
+        blocks advance by ``chunk - overlap`` and a triangular fade blends
+        each seam.  Block size stays fixed, so the jitted step keeps ONE
+        signature either way."""
         from misonet_tpu.ops.chunk import split_chunks
 
         chunk = self.ds.chunk_samples
-        pieces, gap = split_chunks(wave, chunk)
         state = self.init_state(self.ds.num_spks)
-        bf_out, m1_out = [], []
-        for p in pieces:
-            state, bf, m1 = self.process_block(state, p)
-            bf_out.append(bf)
-            m1_out.append(m1)
-        total = len(pieces) * chunk - gap
-        bf = np.concatenate(bf_out, axis=-1)[:, :total]
-        m1 = np.concatenate(m1_out, axis=-1)[:, :total]
-        return {"beamformed": bf, "miso1": m1}
+        if overlap == 0:
+            pieces, gap = split_chunks(wave, chunk)
+            bf_out, m1_out = [], []
+            for p in pieces:
+                state, bf, m1 = self.process_block(state, p)
+                bf_out.append(bf)
+                m1_out.append(m1)
+            total = len(pieces) * chunk - gap
+            bf = np.concatenate(bf_out, axis=-1)[:, :total]
+            m1 = np.concatenate(m1_out, axis=-1)[:, :total]
+            return {"beamformed": bf, "miso1": m1}
+
+        assert 0 < overlap < chunk, (overlap, chunk)
+        hop = chunk - overlap
+        total = wave.shape[0]
+        n_blocks = max(1, -(-max(total - overlap, 1) // hop))
+        padded = np.pad(
+            wave, [(0, (n_blocks - 1) * hop + chunk - total), (0, 0)]
+        )
+        bf_blocks, m1_blocks = [], []
+        for i in range(n_blocks):
+            seg = padded[i * hop : i * hop + chunk]
+            state, bf, m1 = self.process_block(state, seg)
+            bf_blocks.append(bf)
+            m1_blocks.append(m1)
+        return {
+            "beamformed": crossfade_stitch(
+                np.stack(bf_blocks), hop, total
+            ),
+            "miso1": crossfade_stitch(np.stack(m1_blocks), hop, total),
+        }
+
+
+def crossfade_stitch(blocks: np.ndarray, hop: int, total: int) -> np.ndarray:
+    """Overlap-add [N, S, chunk] blocks advancing by ``hop`` with a
+    triangular cross-fade over the ``chunk - hop`` overlap, normalized by
+    the accumulated fade weights (so consistent blocks reconstruct their
+    signal exactly, including at the edges)."""
+    n, s, chunk = blocks.shape
+    overlap = chunk - hop
+    w = np.ones(chunk, blocks.dtype)
+    if overlap > 0:
+        ramp = (np.arange(1, overlap + 1) / (overlap + 1)).astype(blocks.dtype)
+        w[:overlap] = ramp
+        w[chunk - overlap :] = ramp[::-1]
+    out = np.zeros((s, (n - 1) * hop + chunk), blocks.dtype)
+    wsum = np.zeros(out.shape[-1], blocks.dtype)
+    for i in range(n):
+        out[:, i * hop : i * hop + chunk] += blocks[i] * w
+        wsum[i * hop : i * hop + chunk] += w
+    return (out / wsum[None])[:, :total]

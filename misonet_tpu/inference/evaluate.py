@@ -20,7 +20,12 @@ Design deltas from the reference (all TPU-motivated):
     cancels in the MVDR solve), so every jit signature comes from a small
     set of static shapes;
   * SI-SDR is computed inline when references exist (the reference has no
-    metric code at all, SURVEY.md §6).
+    metric code at all, SURVEY.md §6);
+  * the enhance nets ALWAYS run per chunk (the reference's Tester_Enhance
+    is chunk-mode, tester.py:846-975).  With utterance-mode beamforming the
+    utterance-grid BF wave is re-chunked onto the chunk frame grid first —
+    running MISO2/3 on a bucket-padded utterance grid would push zero-pad
+    frames into the IN/gLN statistics and skew every real frame.
 """
 
 from __future__ import annotations
@@ -156,29 +161,28 @@ class CascadeEvaluator:
 
         beamformed = enhanced = None
         if self.beamform_utterance or self.enhance_model is not None:
-            bf_stft, mix_full_stft, t_frames = self._beamform(
-                full, mix, pieces, mix_wave, n, gap
-            )
+            bf_stft = self._beamform(full, mix, pieces, mix_wave, n, gap)
             # utterance mode yields [S, T, F]; chunk mode [N, S, T, F]
             if bf_stft.ndim == 4:
                 beamformed = self._stitch(bf_stft, n, gap, out_len)
+                bf_chunks = bf_stft
             else:
                 beamformed = self._istft_multi(bf_stft, out_len)
+                # the enhance nets always run per chunk (the reference's
+                # Tester_Enhance is chunk-mode, tester.py:846-975): slice
+                # the utterance-grid BF wave back onto the chunk frame
+                # grid.  Running them on the bucketed utterance grid
+                # instead would feed zero-pad frames into the IN/gLN
+                # statistics and skew every real frame's normalization.
+                bf_chunks = (
+                    self._rechunk(beamformed, nb)
+                    if self.enhance_model is not None
+                    else None
+                )
 
             if self.enhance_model is not None:
-                enhanced_stft = self._enhance(
-                    mix_full_stft
-                    if self.beamform_utterance
-                    else mix,
-                    miso1_ref,
-                    bf_stft,
-                    n,
-                    gap,
-                )
-                if enhanced_stft.ndim == 4:
-                    enhanced = self._stitch(enhanced_stft, n, gap, out_len)
-                else:
-                    enhanced = self._istft_multi(enhanced_stft, out_len)
+                enhanced_stft = self._enhance(mix, miso1_ref, bf_chunks)
+                enhanced = self._stitch(enhanced_stft, n, gap, out_len)
 
         scores: dict[str, float] = {}
         if refs is not None:
@@ -225,8 +229,8 @@ class CascadeEvaluator:
         return np.asarray(wav)
 
     def _beamform(self, full, mix, pieces, mix_wave, n, gap):
-        """Returns (bf_stft [S, T_utt, F] or chunk-stitched equivalent,
-        full-utterance mix stft, frame count)."""
+        """Returns bf_stft: [S, T_utt, F] (utterance mode) or
+        [N, S, T, F] (chunk mode)."""
         ds, cfg = self.ds, self.stft_cfg
         if not self.beamform_utterance:
             # chunk mode (tester.py:453-543): MVDR per split
@@ -237,7 +241,7 @@ class CascadeEvaluator:
                 in_axes=1,
                 out_axes=1,
             )(full)                                      # [N, S, T, F]
-            return bf, mix, None
+            return bf
 
         # utterance mode (tester.py:340-451): stitch per-speaker
         # multi-channel time-domain estimates, re-STFT at full length.
@@ -266,58 +270,41 @@ class CascadeEvaluator:
                 power_iters=self.power_iters,
             )[0]
         )(src_stft)                                      # [S, T, F]
-        return bf, mix_stft, src_stft.shape[-2]
+        return bf
 
-    def _enhance(self, mix_stft, miso1_ref, bf_stft, n, gap=0):
-        """Run MISO2/3 on either per-chunk ([N,...]) or full-utterance
-        spectrograms, preserving the input's leading structure."""
-        model, params = self.enhance_model, self.enhance_params
-        if bf_stft.ndim == 3:  # utterance mode: [S, T, F]
-            s, t, f = bf_stft.shape
-            mix_b = mix_stft[None]                        # [1, C, T, F]
-            # MISO1 ref-ch estimates must cover the same frames: stitch them
-            m1 = self._restft_miso1(miso1_ref, n, gap, t)
-            if self.joint:
-                x = enhance_input(mix_b, m1[None], bf_stft[None])
-                return self._enh_apply(params, x)[0]
-            mix_rep = jnp.repeat(mix_b, s, axis=0)
-            x = enhance_input(
-                mix_rep, m1[:, None], bf_stft[:, None]
-            )                                             # [S, C+2, T, F]
-            return self._enh_apply(params, x)[:, 0]
-        else:  # chunk mode: [N, S, T, F]
-            nb, s, t, f = bf_stft.shape
-            if self.joint:
-                x = enhance_input(mix_stft, miso1_ref, bf_stft)
-                return self._enh_apply(params, x)
-            mix_rep = jnp.repeat(mix_stft, s, axis=0)
-            x = enhance_input(
-                mix_rep,
-                miso1_ref.reshape(nb * s, 1, t, f),
-                bf_stft.reshape(nb * s, 1, t, f),
+    def _rechunk(self, waves: np.ndarray, nb: int) -> jnp.ndarray:
+        """[S, samples] stage output -> bucketed per-chunk STFT
+        [nb, S, T, F] on the standard chunk frame grid (each chunk framed
+        standalone, exactly like the reference loader frames its splits,
+        data.py:510-556)."""
+        pieces, _ = split_chunks(
+            np.ascontiguousarray(waves.T), self.ds.chunk_samples
+        )                                                # [N, chunk, S]
+        if nb > pieces.shape[0]:
+            pieces = np.concatenate(
+                [pieces,
+                 np.zeros((nb - pieces.shape[0],) + pieces.shape[1:],
+                          pieces.dtype)]
             )
-            return self._enh_apply(params, x).reshape(nb, s, t, f)
+        return self._stft(jnp.asarray(pieces.transpose(0, 2, 1)))
 
-    def _restft_miso1(self, miso1_ref, n, gap, t_frames):
-        """Stitch per-chunk MISO1 ref-ch estimates to the utterance frame
-        grid used by utterance-mode beamforming: trim the final chunk's
-        zero-pad ``gap`` and re-pad to the same bucketed sample length as
-        ``_beamform``'s stitched estimates, so the MISO1 conditioning
-        channels sit on exactly the BF channel's frame grid (the reference
-        iSTFTs/re-STFTs the gap-stripped utterance, tester.py:421-441)."""
-        cfg = self.stft_cfg
-        chunk = self.ds.chunk_samples
-        wav = istft_scaled(miso1_ref, cfg, chunk)        # [Nb, S, chunk]
-        wav = np.asarray(wav[:n]).transpose(1, 0, 2).reshape(
-            wav.shape[1], -1
-        )                                                # [S, N*chunk]
-        out_len = n * chunk - gap
-        bucket = _next_bucket(max(1, -(-out_len // chunk))) * chunk
-        wav = np.pad(wav[:, :out_len], [(0, 0), (0, bucket - out_len)])
-        z = self._stft_masked(jnp.asarray(wav), cfg.num_frames(out_len))
-        if z.shape[-2] < t_frames:
-            z = jnp.pad(z, [(0, 0), (0, t_frames - z.shape[-2]), (0, 0)])
-        return z[:, :t_frames]
+    def _enhance(self, mix_stft, miso1_ref, bf_stft):
+        """Per-chunk MISO2/3 on [N, S, T, F] stacks — every chunk sits on
+        the exact 4 s frame grid, so IN/gLN statistics are exact, matching
+        the reference's per-split Tester_Enhance (tester.py:846-975).  All
+        N chunks x S speakers ride ONE batched forward."""
+        params = self.enhance_params
+        nb, s, t, f = bf_stft.shape
+        if self.joint:
+            x = enhance_input(mix_stft, miso1_ref, bf_stft)
+            return self._enh_apply(params, x)
+        mix_rep = jnp.repeat(mix_stft, s, axis=0)
+        x = enhance_input(
+            mix_rep,
+            miso1_ref.reshape(nb * s, 1, t, f),
+            bf_stft.reshape(nb * s, 1, t, f),
+        )
+        return self._enh_apply(params, x).reshape(nb, s, t, f)
 
     # ------------------------------------------------------------------
     def evaluate_corpus(

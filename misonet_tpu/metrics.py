@@ -67,9 +67,11 @@ def si_sdr_pit(estimates: jnp.ndarray, references: jnp.ndarray) -> jnp.ndarray:
 def pesq(estimate: np.ndarray, reference: np.ndarray, fs: int = 8000):
     """PESQ (ITU-T P.862) hook.
 
-    Requires the ``pesq`` package (native libpesq), which is not baked into
-    this image; returns None when unavailable so evaluation loops can report
-    it opportunistically alongside SI-SDR."""
+    Requires the ``pesq`` package (native libpesq); returns None when
+    unavailable so evaluation loops report it opportunistically alongside
+    SI-SDR.  An in-tree P.862 reimplementation is explicitly descoped
+    (BASELINE.md): without the ITU conformance vectors it could not be
+    validated, and the reference repo neither computes nor publishes PESQ."""
     try:
         from pesq import pesq as _pesq  # type: ignore
     except ImportError:

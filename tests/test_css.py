@@ -63,3 +63,31 @@ def test_forgetting_factor(css):
     d = synth_mixture(2, num_samples=4000, num_ch=3)
     out = css_f.process(d["mix"])
     assert np.isfinite(out["beamformed"]).all()
+
+
+def test_crossfade_stitch_reconstructs_consistent_blocks():
+    """Cross-fade OLA of blocks cut from one signal with overlap must
+    reproduce that signal exactly (weights are normalized, edges incl.)."""
+    from misonet_tpu.inference.css import crossfade_stitch
+
+    rng = np.random.default_rng(3)
+    sig = rng.standard_normal((2, 1000)).astype(np.float32)
+    chunk, hop = 300, 200
+    n = -(-(1000 - (chunk - hop)) // hop)
+    padded = np.pad(sig, [(0, 0), (0, (n - 1) * hop + chunk - 1000)])
+    blocks = np.stack(
+        [padded[:, i * hop : i * hop + chunk] for i in range(n)]
+    )
+    out = crossfade_stitch(blocks, hop, 1000)
+    np.testing.assert_allclose(out, sig, atol=1e-6)
+
+
+def test_streaming_overlap_mode(css):
+    """overlap>0: cross-fade stitched output has the full length and stays
+    finite; block count covers the recording."""
+    d = synth_mixture(5, num_samples=6000, num_ch=3)
+    out = css.process(d["mix"], overlap=DS.chunk_samples // 2)
+    assert out["beamformed"].shape == (2, 6000)
+    assert out["miso1"].shape == (2, 6000)
+    assert np.isfinite(out["beamformed"]).all()
+    assert np.isfinite(out["miso1"]).all()
