@@ -154,6 +154,11 @@ class TrainerConfig:
     miso1_checkpoint: str = ""  # frozen MISO1 for enhancement training
     load_miso1_output: bool = False
     load_mvdr_output: bool = False
+    # over-estimation penalty (the reference's loss_uPIT_v1 with its
+    # commented per-epoch schedule alpha=(epoch+1)*0.03, trainer.py:176-178):
+    # 0.0 disables (the reference's effective default); >0 trains with
+    # loss_upit_overest at alpha = (epoch+1) * overest_alpha.
+    overest_alpha: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,6 +269,7 @@ def load_yaml(path: str | Path) -> Config:
             miso1_checkpoint=str(d.get("MISO1_path", "")),
             load_miso1_output=bool(d.get("load_MISO1_Output", False)),
             load_mvdr_output=bool(d.get("load_MVDR_Output", False)),
+            overest_alpha=float(d.get("overest_alpha", 0.0)),
         )
 
     return Config(

@@ -136,16 +136,36 @@ class Batcher:
         ]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def producer():
             for idxs in batches:
-                q.put(self._collate(idxs))
-            q.put(stop)
+                batch = self._collate(idxs)
+                # bounded put loop so an abandoned iterator (consumer broke
+                # out mid-epoch) releases the thread instead of leaving it
+                # blocked forever on a full queue of multi-MB batches
+                while not abandoned.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
+            while not abandoned.is_set():
+                try:
+                    q.put(stop, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            abandoned.set()

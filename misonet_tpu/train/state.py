@@ -68,25 +68,35 @@ def create_train_state(
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Overwrite the injected learning rate inside the optimizer state."""
+    """Return a state whose injected learning rate is ``lr``.
 
-    def visit(node):
-        if isinstance(node, optax.InjectStatefulHyperparamsState) or hasattr(
-            node, "hyperparams"
-        ):
-            node.hyperparams["learning_rate"] = jnp.asarray(
-                lr, node.hyperparams["learning_rate"].dtype
+    Rebuilds the inject_hyperparams node functionally (NamedTuple
+    ``_replace`` / ``dataclasses.replace``) instead of mutating optax's
+    state dict in place, so it stays correct under donated/jitted states
+    and across optax versions."""
+    import dataclasses as _dc
+
+    def replace(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            new_hp = dict(hp)
+            new_hp["learning_rate"] = jnp.asarray(
+                lr, jnp.asarray(hp["learning_rate"]).dtype
+            )
+            if hasattr(node, "_replace"):          # NamedTuple state
+                return node._replace(hyperparams=new_hp)
+            if _dc.is_dataclass(node):
+                return _dc.replace(node, hyperparams=new_hp)
+            raise TypeError(
+                f"unsupported inject_hyperparams state type {type(node)!r}"
             )
         return node
 
-    # opt_state is a tuple of transform states; inject_hyperparams state has
-    # a mutable .hyperparams dict we can update in place on the host copy.
-    for node in jax.tree.leaves(
-        state.opt_state, is_leaf=lambda n: hasattr(n, "hyperparams")
-    ):
-        if hasattr(node, "hyperparams"):
-            visit(node)
-    return state
+    new_opt = jax.tree.map(
+        replace, state.opt_state,
+        is_leaf=lambda n: hasattr(n, "hyperparams"),
+    )
+    return state.replace(opt_state=new_opt)
 
 
 def current_learning_rate(state: TrainState) -> float:

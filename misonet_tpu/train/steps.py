@@ -21,7 +21,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from misonet_tpu.config import StftConfig
-from misonet_tpu.losses import loss_upit, loss_enhance
+from misonet_tpu.losses import loss_upit, loss_upit_overest, loss_enhance
 from misonet_tpu.ops.stft import stft_scaled
 from misonet_tpu.train.state import TrainState
 
@@ -88,6 +88,7 @@ def make_separate_wave_train_step(
     stft_cfg: StftConfig,
     ref_ch: int = 0,
     mesh: Mesh | None = None,
+    overest: bool = False,
 ) -> Callable:
     """MISO1 training step over *time-domain* batches: the STFT runs on
     device inside the same jitted computation as the forward/backward.
@@ -97,9 +98,15 @@ def make_separate_wave_train_step(
     the host ships raw audio and the featurization is fused into the step.
 
     (state, mix_wave [B, S, C] f32, ref_wave [B, num_spks, S] f32)
-        -> (state, metrics)."""
+        -> (state, metrics).
 
-    def step(state: TrainState, mix_wave: jnp.ndarray, ref_wave: jnp.ndarray):
+    ``overest=True`` switches the criterion to loss_upit_overest (the
+    reference's loss_uPIT_v1, criterion.py:65-119, commented out at
+    trainer.py:176-178) and adds a traced ``alpha`` argument:
+    (state, mix_wave, ref_wave, alpha) — one compiled signature for the
+    whole per-epoch alpha schedule."""
+
+    def step(state: TrainState, mix_wave, ref_wave, alpha=None):
         # [B, S, C] -> [B, C, S] -> stft [B, C, T, F] (data.py:77-79)
         mix = stft_scaled(mix_wave.transpose(0, 2, 1), stft_cfg)
         ref = stft_scaled(ref_wave, stft_cfg)  # [B, num_spks, T, F]
@@ -107,6 +114,8 @@ def make_separate_wave_train_step(
 
         def loss_fn(params):
             est = model.apply(params, mix)
+            if overest:
+                return loss_upit_overest(est, ref, alpha)
             return loss_upit(est, ref)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -114,8 +123,10 @@ def make_separate_wave_train_step(
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     repl, data = _shardings(mesh, 2)
-    return jax.jit(step, in_shardings=(repl, *data[1:]) if data else None,
-                   donate_argnums=(0,))
+    shardings = (repl, *data[1:]) if data else None
+    if overest and shardings is not None:
+        shardings = shardings + (repl,)
+    return jax.jit(step, in_shardings=shardings, donate_argnums=(0,))
 
 
 def make_separate_wave_eval_step(

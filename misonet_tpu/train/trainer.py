@@ -91,6 +91,7 @@ class SeparationTrainer:
         self.train_step = make_separate_wave_train_step(
             model, self.optimizer, stft_cfg,
             ref_ch=ds_cfg.ref_ch, mesh=mesh,
+            overest=trainer_cfg.overest_alpha > 0.0,
         )
         self.eval_step = make_separate_wave_eval_step(
             model, stft_cfg, ref_ch=ds_cfg.ref_ch, mesh=mesh
@@ -163,7 +164,15 @@ class SeparationTrainer:
             if training:
                 if self.writer:
                     self.writer.step_start()
-                self.state, metrics = self.train_step(self.state, mix, ref)
+                if self.cfg.overest_alpha > 0.0:
+                    # reference's commented schedule: alpha=(epoch+1)*0.03
+                    # (trainer.py:176), traced so the jit signature is one
+                    alpha = jnp.float32((epoch + 1) * self.cfg.overest_alpha)
+                    self.state, metrics = self.train_step(
+                        self.state, mix, ref, alpha
+                    )
+                else:
+                    self.state, metrics = self.train_step(self.state, mix, ref)
                 loss = float(metrics["loss"])
                 if self.writer:
                     audio_s = mix.shape[0] * mix.shape[1] / self.stft_cfg.fs

@@ -153,6 +153,30 @@ def test_companion_extraction(tmp_path):
     assert set(ShardDataset(out)[0].keys()) == {"mix", "ref"}
 
 
+def test_batcher_abandoned_iterator_releases_producer(shard_dir):
+    """Breaking out of a Batcher mid-epoch must unblock and terminate the
+    producer thread (it would otherwise sit forever on a full queue
+    holding multi-MB batches — a leak in a long-running trainer)."""
+    import threading
+    import time
+
+    ds = ShardDataset(shard_dir)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(Batcher(ds, batch_size=1, shuffle=False, prefetch=1))
+    next(it)          # producer running, queue filling
+    it.close()        # abandon mid-epoch (generator finally -> abandoned)
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        extra = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.is_alive()
+        ]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"producer thread leaked: {extra}"
+
+
 def test_pcm24_write_matches_pcm16_quantization(tmp_path):
     """PCM_24 output (the reference's soundfile byte format, tester.py:157)
     must read back EXACTLY equal to the PCM_16 write — same int16

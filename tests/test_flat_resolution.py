@@ -58,3 +58,48 @@ def test_default_model_runs_on_any_backend():
     out = jax.jit(model.apply)(params, mix)
     assert out.shape == (1, 2, 8, 129)
     assert jnp.isfinite(out.real).all()
+
+
+@pytest.mark.slow
+def test_reverb_geometry_full_forward_flat_vs_plain():
+    """Full MISO1 forward at the REVERB 2MIX production geometry (F=257,
+    8 levels, 384-channel bottleneck, configs/reverb_2mix.yml — the
+    reference's commented 8-block plan, NN_BSS.yml:115-117): the fused
+    flat path must match the plain XLA path in precise mode.  Before this
+    test only the geometry PREDICATE was pinned (flat_plan_supported);
+    this runs the actual 257-bin ladder end to end."""
+    import dataclasses
+    from pathlib import Path
+
+    import numpy as np
+    from jax.experimental import pallas as _pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misonet_tpu.config import load_yaml
+
+    cfg = load_yaml(
+        Path(__file__).resolve().parents[1] / "configs" / "reverb_2mix.yml"
+    )
+    mcfg = dataclasses.replace(cfg.miso1, compute_dtype="float32")
+    assert mcfg.num_bottleneck == 8
+
+    b, c, t, f = 1, 2, 8, cfg.stft.num_bins
+    assert f == 257
+    rng = np.random.default_rng(9)
+    mix = jnp.asarray(
+        rng.standard_normal((b, c, t, f)).astype(np.float32)
+        + 1j * rng.standard_normal((b, c, t, f)).astype(np.float32)
+    )
+
+    plain = make_miso1(dataclasses.replace(mcfg, flat_dense=False))
+    params = plain.init(jax.random.key(0), mix)
+    ref = plain.apply(params, mix)
+    assert ref.shape == (b, 2, t, f)
+
+    flat = make_miso1(dataclasses.replace(mcfg, flat_dense=True))
+    with pltpu.force_tpu_interpret_mode():
+        out = flat.apply(params, mix)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-4, rtol=5e-3
+    )

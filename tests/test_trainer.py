@@ -167,3 +167,27 @@ def test_enhance_trainer_resume_and_writer(tmp_path):
     hist = tr2.train()
     assert tr2.start_epoch == 1
     assert len(hist["train"]) == 2
+
+
+def test_separation_trainer_overest_loss(tmp_path):
+    """overest_alpha wires loss_upit_overest (the reference's loss_uPIT_v1
+    with its commented alpha=(epoch+1)*0.03 schedule, trainer.py:176-178)
+    into the jitted wave train step: trains finitely and its loss sits
+    above the plain-uPIT trainer's on identical data/params (the penalty
+    is non-negative)."""
+    data, val = _batches(0), _batches(1, n=1)
+    losses = {}
+    for alpha in (0.0, 0.05):
+        model = make_miso1(SMALL)
+        cfg = TrainerConfig(
+            epochs=1, save_folder=str(tmp_path / f"ck{alpha}"),
+            checkpoint_every=5, print_freq=100, overest_alpha=alpha,
+        )
+        tr = SeparationTrainer(
+            model, cfg, OptimizerConfig(), STFT, DS,
+            train_data=data, val_data=val,
+        )
+        hist = tr.train()
+        assert np.isfinite(hist["train"]).all()
+        losses[alpha] = hist["train"][0]
+    assert losses[0.05] >= losses[0.0]
