@@ -314,22 +314,26 @@ class CascadeEvaluator:
         write: bool = True,
         max_utts: int | None = None,
         wav_subtype: str = "PCM_16",
+        workers: int = 2,
     ) -> dict[str, float]:
         """Run over extraction specs (mix + source paths), write per-stage
         wavs like the reference testers ('<utt>_0.wav'/'_1.wav',
         tester.py:181-183), return mean per-stage SI-SDR.
         ``wav_subtype="PCM_24"`` reproduces the reference's on-disk byte
-        format (tester.py:157)."""
+        format (tester.py:157).
+
+        ``workers`` > 1 pipelines utterances through a thread pool: one
+        utterance's host half (wav reads, chunk stitch, SI-SDR scoring,
+        wav writes — all GIL-releasing numpy/file IO) overlaps another's
+        device half (decode/MVDR/MISO3 dispatches).  Per-utterance
+        numerics are untouched — only the schedule changes; scores are
+        aggregated in spec order."""
         out = Path(out_dir)
-        agg: dict[str, list[float]] = {}
-        for spec in specs[:max_utts]:
+
+        def one(spec):
             mix, fs = read_wav(spec.mix_path)
-            refs = np.stack(
-                [read_wav(p)[0] for p in spec.source_paths]
-            )
+            refs = np.stack([read_wav(p)[0] for p in spec.source_paths])
             res = self.process(mix, refs)
-            for k, v in res.si_sdr.items():
-                agg.setdefault(k, []).append(v)
             if write:
                 for stage, est in [
                     ("MISO1", res.separated),
@@ -345,6 +349,20 @@ class CascadeEvaluator:
                             fs,
                             subtype=wav_subtype,
                         )
+            return res.si_sdr
+
+        todo = specs[:max_utts]
+        agg: dict[str, list[float]] = {}
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as tp:
+                results = list(tp.map(one, todo))
+        else:
+            results = [one(s) for s in todo]
+        for scores in results:
+            for k, v in scores.items():
+                agg.setdefault(k, []).append(v)
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
 
