@@ -109,11 +109,55 @@ class CascadeEvaluator:
         self._stft_masked = jax.jit(
             lambda w, tv: _mask_frames(stft_scaled(w, self.stft_cfg), tv)
         )
-        # jitted enhance apply: eager apply dispatches op-by-op through
-        # the device relay (~50 ms each)
-        self._enh_apply = (
-            jax.jit(enhance_model.apply) if enhance_model is not None else None
-        )
+        # jitted packed enhance step (eager apply/repeat/reshape would
+        # dispatch op-by-op through the device relay); built here so the
+        # threaded corpus pipeline never races a lazy init
+        self._enh_packed = None
+        if enhance_model is not None:
+            _joint = joint
+
+            def _packed(params, mix_stft, miso1_ref, bf_stft):
+                nb_, s, t, f = bf_stft.shape
+                if _joint:
+                    return enhance_model.apply(
+                        params, enhance_input(mix_stft, miso1_ref, bf_stft)
+                    )
+                mix_rep = jnp.repeat(mix_stft, s, axis=0)
+                x = enhance_input(
+                    mix_rep,
+                    miso1_ref.reshape(nb_ * s, 1, t, f),
+                    bf_stft.reshape(nb_ * s, 1, t, f),
+                )
+                return enhance_model.apply(params, x).reshape(nb_, s, t, f)
+
+            self._enh_packed = jax.jit(_packed)
+        # decode + PIT alignment + gather fused into ONE dispatch: every
+        # eager glue op (magnitude_distance, align_slots, take_along_axis,
+        # ref-ch slice) costs a full relay round trip (~50 ms) — they
+        # dominated per-utterance latency, not device FLOPs.
+        ref_ch = ds_cfg.ref_ch
+
+        def _decode_align(params, mix, ref_stft):
+            full = self.decode(params, mix)               # [N, S, C, T, F]
+            m_ref = full[:, :, ref_ch]
+            dist = magnitude_distance(m_ref, ref_stft)
+            idx = align_slots(dist)
+            full = jnp.take_along_axis(
+                full, idx[:, :, None, None, None], axis=1
+            )
+            return full, full[:, :, ref_ch]
+
+        def _decode_align_refless(params, mix):
+            full = self.decode(params, mix)
+            m_ref = full[:, :, ref_ch]
+            idx = _chain_alignment_scan(m_ref)
+            full = jnp.take_along_axis(
+                full, idx[:, :, None, None, None], axis=1
+            )
+            return full, full[:, :, ref_ch]
+
+        self._decode_align = jax.jit(_decode_align)
+        self._decode_align_refless = jax.jit(_decode_align_refless)
 
     # ------------------------------------------------------------------
     def process(
@@ -131,12 +175,10 @@ class CascadeEvaluator:
             )
 
         mix = self._stft(jnp.asarray(pieces.transpose(0, 2, 1)))  # [N,C,T,F]
-        full = self.decode(self.miso1_params, mix)       # [N, S, C, T, F]
-        s = full.shape[1]
 
-        # per-chunk alignment to clean references (tester.py:125-147) or to
-        # the previous chunk when operating without references.
-        miso1_ref = full[:, :, ds.ref_ch]                # [N, S, T, F]
+        # decode + per-chunk alignment (to clean references,
+        # tester.py:125-147, or chained to the previous chunk when
+        # operating refless) + gather, fused into one jitted dispatch
         if refs is not None:
             ref_pieces, _ = split_chunks(
                 np.ascontiguousarray(refs.T), chunk
@@ -149,12 +191,13 @@ class CascadeEvaluator:
             ref_stft = self._stft(
                 jnp.asarray(ref_pieces.transpose(0, 2, 1))
             )                                            # [N, S, T, F]
-            dist = magnitude_distance(miso1_ref, ref_stft)
-            idx = align_slots(dist)                      # [N, S]
+            full, miso1_ref = self._decode_align(
+                self.miso1_params, mix, ref_stft
+            )
         else:
-            idx = self._chain_alignment(miso1_ref)
-        full = jnp.take_along_axis(full, idx[:, :, None, None, None], axis=1)
-        miso1_ref = full[:, :, ds.ref_ch]
+            full, miso1_ref = self._decode_align_refless(
+                self.miso1_params, mix
+            )
 
         out_len = mix_wave.shape[0]
         separated = self._stitch(miso1_ref, n, gap, out_len)   # [S, samples]
@@ -196,15 +239,6 @@ class CascadeEvaluator:
         return UtteranceResult(separated, beamformed, enhanced, scores)
 
     # ------------------------------------------------------------------
-    def _chain_alignment(self, miso1_ref: jnp.ndarray) -> jnp.ndarray:
-        """Align each chunk's speaker order to the previous chunk's (refless
-        continuous operation — new capability; the reference always aligns
-        to clean sources).  One jitted lax.scan over chunks: the python
-        per-chunk loop paid one dispatch + device sync per 4 s chunk,
-        which serialized exactly the long-form recordings this path
-        exists for."""
-        return _chain_alignment_scan(miso1_ref)
-
     def _stitch(
         self, spec: jnp.ndarray, n: int, gap: int, out_len: int
     ) -> np.ndarray:
@@ -292,19 +326,12 @@ class CascadeEvaluator:
         """Per-chunk MISO2/3 on [N, S, T, F] stacks — every chunk sits on
         the exact 4 s frame grid, so IN/gLN statistics are exact, matching
         the reference's per-split Tester_Enhance (tester.py:846-975).  All
-        N chunks x S speakers ride ONE batched forward."""
-        params = self.enhance_params
-        nb, s, t, f = bf_stft.shape
-        if self.joint:
-            x = enhance_input(mix_stft, miso1_ref, bf_stft)
-            return self._enh_apply(params, x)
-        mix_rep = jnp.repeat(mix_stft, s, axis=0)
-        x = enhance_input(
-            mix_rep,
-            miso1_ref.reshape(nb * s, 1, t, f),
-            bf_stft.reshape(nb * s, 1, t, f),
+        N chunks x S speakers ride ONE batched forward; the conditioning
+        packing is fused into the same dispatch (eager repeat/reshape
+        glue costs relay round trips)."""
+        return self._enh_packed(
+            self.enhance_params, mix_stft, miso1_ref, bf_stft
         )
-        return self._enh_apply(params, x).reshape(nb, s, t, f)
 
     # ------------------------------------------------------------------
     def evaluate_corpus(

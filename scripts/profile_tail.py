@@ -81,6 +81,39 @@ def main():
     t3 = timed(adam_step, params, state)
     print(f"adam update (2.6M):   {t3*1e3:7.3f} ms")
 
+    # TCN bottleneck (the dominant XLA stage of the tail): R=2 x X=7
+    # dilated blocks at bench shapes [8, 501, 128], fwd and fwd+bwd
+    from misonet_tpu.config import ModelConfig
+    from misonet_tpu.models.blocks import TemporalConvNet
+
+    cfg = ModelConfig()
+    tcn = TemporalConvNet(
+        repeats=cfg.tcn_repeats, blocks=cfg.tcn_blocks,
+        features=cfg.tcn_channels, norm_type=cfg.norm_type,
+        dtype=jnp.bfloat16,
+    )
+    x = jax.random.normal(kr, (B, T, 128), jnp.bfloat16)
+    tp = jax.jit(tcn.init)(jax.random.key(2), x)
+
+    def tcn_fwd(carry, tp, x):
+        return tcn.apply(tp, x + carry.astype(x.dtype)).astype(
+            jnp.float32
+        ).sum() * 1e-12
+
+    def tcn_fwdbwd(carry, tp, x):
+        def f(p):
+            return tcn.apply(p, x + carry.astype(x.dtype)).astype(
+                jnp.float32
+            ).sum()
+
+        l, g = jax.value_and_grad(f)(tp)
+        return (l + sum(jnp.abs(v).sum() for v in jax.tree.leaves(g))) * 1e-12
+
+    t4 = timed(tcn_fwd, tp, x)
+    t5 = timed(tcn_fwdbwd, tp, x)
+    print(f"TCN fwd:              {t4*1e3:7.3f} ms")
+    print(f"TCN fwd+bwd:          {t5*1e3:7.3f} ms")
+
 
 if __name__ == "__main__":
     main()
