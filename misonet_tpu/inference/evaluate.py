@@ -45,7 +45,7 @@ from misonet_tpu.losses import magnitude_distance
 from misonet_tpu.metrics import numpy_si_sdr
 from misonet_tpu.models import enhance_input
 from misonet_tpu.ops.chunk import merge_chunks, split_chunks
-from misonet_tpu.ops.stft import istft_scaled, stft_scaled
+from misonet_tpu.ops.stft import istft_scaled, istft_scaled_masked, stft_scaled
 
 
 def _next_bucket(n: int) -> int:
@@ -251,16 +251,22 @@ class CascadeEvaluator:
         )[:, :out_len]
 
     def _istft_multi(self, spec: jnp.ndarray, out_len: int) -> np.ndarray:
-        """[S, T, F] full-utterance spectrogram -> [S, out_len] wave.
+        """[S, T_b, F] bucketed full-utterance spectrogram -> [S, out_len]
+        wave.
 
         Synthesis uses exactly the frames of the out_len-sample scipy
         framing: bucket-pad frames beyond t_valid would not change the
         OLA numerator (they are masked to zero upstream) but WOULD enter
         the window-energy envelope, deflating the final hop's samples
-        relative to the reference's exact-length iSTFT."""
+        relative to the reference's exact-length iSTFT.  The masked iSTFT
+        keeps the jit signature bucket-static (t_valid is traced) — a
+        corpus of arbitrary utterance lengths compiles one synthesis per
+        bucket, not one per length."""
         t_valid = min(spec.shape[-2], self.stft_cfg.num_frames(out_len))
-        wav = istft_scaled(spec[..., :t_valid, :], self.stft_cfg, out_len)
-        return np.asarray(wav)
+        chunk = self.ds.chunk_samples
+        bucket = _next_bucket(max(1, -(-out_len // chunk))) * chunk
+        wav = istft_scaled_masked(spec, t_valid, self.stft_cfg, bucket)
+        return np.asarray(wav)[..., :out_len]
 
     def _beamform(self, full, mix, pieces, mix_wave, n, gap):
         """Returns bf_stft: [S, T_utt, F] (utterance mode) or

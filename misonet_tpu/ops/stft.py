@@ -120,6 +120,45 @@ def _istft_raw(
     return jnp.pad(y, pads)
 
 
+@functools.partial(jax.jit, static_argnames=("length", "hop", "out_samples"))
+def _istft_masked_raw(
+    z: jnp.ndarray, t_valid: jnp.ndarray, length: int, hop: int,
+    out_samples: int,
+) -> jnp.ndarray:
+    """`_istft_raw` with a TRACED valid-frame count: synthesizes exactly
+    the first ``t_valid`` frames of a bucket-padded spectrogram (frames at
+    index >= t_valid are masked from BOTH the OLA numerator and the
+    window-energy envelope), so one compiled signature serves every
+    utterance length inside a bucket.  Caller slices the host result to
+    the true sample count."""
+    win = jnp.asarray(hann_periodic(length), jnp.float32)
+    num_frames = z.shape[-2]
+    mask = (jnp.arange(num_frames) < t_valid).astype(jnp.float32)
+    xsubs = jnp.fft.irfft(z, n=length, axis=-1).astype(jnp.float32)
+    num = _overlap_add(xsubs * win * mask[:, None], hop)
+    env = _overlap_add((win[None, :] ** 2) * mask[:, None], hop)
+    env = jnp.where(env > 1e-10, env, 1.0)
+    y = num / env
+    half = length // 2
+    y = y[..., half:]
+    if y.shape[-1] >= out_samples:
+        return y[..., :out_samples]
+    pads = [(0, 0)] * (y.ndim - 1) + [(0, out_samples - y.shape[-1])]
+    return jnp.pad(y, pads)
+
+
+def istft_scaled_masked(
+    z: jnp.ndarray, t_valid, cfg: StftConfig, out_samples: int
+) -> jnp.ndarray:
+    """Bucket-static synthesis of `stft_scaled` features: [..., T_b, F] with
+    frames >= t_valid zero -> [..., out_samples] using only the first
+    ``t_valid`` frames' window energy.  Matches ``istft_scaled`` of the
+    t_valid-cropped spectrogram (tests/test_stft.py) without a compile per
+    distinct utterance length."""
+    return _istft_masked_raw(z, jnp.asarray(t_valid), cfg.length, cfg.hop,
+                             out_samples)
+
+
 def stft(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     """scipy-compatible STFT: [..., S] -> [..., T, F] complex64, scaled by
     1/win.sum() exactly like scipy.signal.stft (reference data.py:58)."""

@@ -98,3 +98,37 @@ def test_stft_is_jittable_and_grads():
     g = jax.grad(loss)(jnp.ones(4096, jnp.float32))
     assert g.shape == (4096,)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_istft_masked_matches_exact_crop():
+    """istft_scaled_masked of a bucket-padded spectrogram (frames past
+    t_valid zero, t_valid traced) must equal istft_scaled of the
+    t_valid-cropped spectrogram — the bucket-static synthesis used by the
+    evaluator's _istft_multi, one compile per bucket instead of one per
+    utterance length."""
+    import jax.numpy as jnp
+
+    from misonet_tpu.ops.stft import istft_scaled_masked
+
+    rng = np.random.default_rng(8)
+    out_len = 5000 - 63                    # NOT a hop multiple
+    bucket = 8192
+    x = rng.standard_normal(out_len).astype(np.float32)
+    xb = np.pad(x, (0, bucket - out_len))
+    z = np.asarray(stft_scaled(jnp.asarray(xb), CFG))   # [T_b, F]
+    t_valid = CFG.num_frames(out_len)
+    z_masked = z.copy()
+    z_masked[t_valid:] = 0.0
+
+    exact = np.asarray(
+        istft_scaled(jnp.asarray(z[:t_valid]), CFG, out_len)
+    )
+    masked = np.asarray(
+        istft_scaled_masked(jnp.asarray(z_masked), t_valid, CFG, bucket)
+    )[:out_len]
+    np.testing.assert_allclose(masked, exact, atol=1e-5)
+    # two different t_valid values reuse ONE compiled signature
+    masked2 = np.asarray(
+        istft_scaled_masked(jnp.asarray(z_masked), t_valid - 3, CFG, bucket)
+    )
+    assert np.isfinite(masked2).all()
