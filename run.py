@@ -65,6 +65,14 @@ def main() -> None:
         "on-disk byte format (tester.py:157)",
     )
     ap.add_argument(
+        "--eval-workers",
+        type=int,
+        default=2,
+        help="utterances pipelined through the evaluator: one utterance's "
+        "host half (wav IO/stitch/scoring) overlaps another's device half "
+        "(PERF.md round 5; 4 measured best on the bench box)",
+    )
+    ap.add_argument(
         "--split",
         default=None,
         help="corpus split directory under rootdir (the reference walks "
@@ -296,7 +304,7 @@ def _test(cfg, args) -> None:
     specs = _discover(cfg, args.split or ds.test_file)
     scores = ev.evaluate_corpus(
         specs, Path(args.logdir) / "wav_out", max_utts=args.max_utts,
-        wav_subtype=args.wav_subtype,
+        wav_subtype=args.wav_subtype, workers=args.eval_workers,
     )
     print("mean SI-SDR per stage:", scores)
 
