@@ -70,7 +70,13 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=32000)
     ap.add_argument("--miso1-ckpt", default="", help="skip MISO1 training")
     ap.add_argument("--save", default="")
+    ap.add_argument(
+        "--noise-sources", action="store_true",
+        help="train on the legacy modulated-noise sources instead of "
+        "harmonic pseudo-speech (data/synthetic.py voiced=True)",
+    )
     args = ap.parse_args()
+    voiced = not args.noise_sources
 
     stft_cfg = StftConfig()
     platform = jax.devices()[0].platform
@@ -81,10 +87,13 @@ def main() -> None:
     num_ch, ref_ch = 6, 0
     print(f"platform={platform} compute={compute}", flush=True)
 
-    print("generating data...", flush=True)
-    train = [synth_mixture(i, args.samples, num_ch) for i in range(args.train_utts)]
+    print(f"generating data (voiced={voiced})...", flush=True)
+    train = [
+        synth_mixture(i, args.samples, num_ch, voiced=voiced)
+        for i in range(args.train_utts)
+    ]
     evals = [
-        synth_mixture(10_000 + i, args.samples, num_ch)
+        synth_mixture(10_000 + i, args.samples, num_ch, voiced=voiced)
         for i in range(args.eval_utts)
     ]
     mix_dev = jnp.asarray(np.stack([d["mix"] for d in train]))  # [N, S, C]

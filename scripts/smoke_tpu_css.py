@@ -52,6 +52,19 @@ def main():
         f"{dt:.1f}s total incl. compile"
     )
 
+    # cross-fade overlap mode on a long-form recording (css.process
+    # overlap>0: blocks advance by chunk-overlap, triangular seam blend)
+    total = int(3.5 * chunk)
+    wave = rng.standard_normal((total, ds.num_ch)).astype(np.float32) * 0.1
+    t0 = time.perf_counter()
+    out = css.process(wave, overlap=chunk // 4)
+    assert out["beamformed"].shape == (2, total)
+    assert np.isfinite(out["beamformed"]).all()
+    print(
+        f"CSS overlap mode OK {out['beamformed'].shape} "
+        f"({time.perf_counter() - t0:.1f}s)"
+    )
+
 
 if __name__ == "__main__":
     main()
