@@ -75,6 +75,12 @@ def main() -> None:
         help="train on the legacy modulated-noise sources instead of "
         "harmonic pseudo-speech (data/synthetic.py voiced=True)",
     )
+    ap.add_argument(
+        "--joint", action="store_true",
+        help="stage 3 trains MISO2 (joint two-speaker enhancement, "
+        "reference enhance_mode='MISO2', run.py:117-125) instead of the "
+        "per-speaker MISO3",
+    )
     args = ap.parse_args()
     voiced = not args.noise_sources
 
@@ -145,10 +151,28 @@ def main() -> None:
         )(full)                                 # [B, S, T, F]
         return mix, ref_al, m1, bf
 
-    # ---- stage 3: MISO3 per-speaker enhancement training ----------------
+    # ---- stage 3: enhancement training ----------------------------------
+    # per-speaker MISO3 (reference enhance_mode='MISO3') or joint MISO2
+    # (--joint; reference enhance_mode='MISO2', both speakers estimated in
+    # one forward under a uPIT loss, run.py:117-125 / trainer.py:427-442)
+    if args.joint:
+        from misonet_tpu.models import make_miso2
+        from misonet_tpu.train import make_enhance_joint_train_step
+
+        enh_model = make_miso2(mcfg)
+        step3 = make_enhance_joint_train_step(enh_model, opt)
+        stage3_name = "MISO2"
+    else:
+        enh_model = miso3
+        step3 = make_enhance_train_step(miso3, opt)
+        stage3_name = "MISO3"
+
     @jax.jit
     def build_enh_inputs(mix, ref_al, m1, bf):
         b, s, t, f = m1.shape
+        if args.joint:
+            # both speakers' MISO1 + BF condition ONE forward
+            return enhance_input(mix, m1, bf), ref_al
         mix_rep = jnp.repeat(mix, s, axis=0)
         x = enhance_input(
             mix_rep, m1.reshape(b * s, 1, t, f), bf.reshape(b * s, 1, t, f)
@@ -156,7 +180,6 @@ def main() -> None:
         y = ref_al.reshape(b * s, 1, t, f)
         return x, y
 
-    step3 = make_enhance_train_step(miso3, opt)
     state3 = None
     rng = np.random.default_rng(1)
     t0 = time.perf_counter()
@@ -165,12 +188,12 @@ def main() -> None:
         mix_b, ref_b = gather(idx)
         x, y = build_enh_inputs(*features(mix_b, ref_b))
         if state3 is None:
-            params3 = jax.jit(miso3.init)(jax.random.key(1), x)
+            params3 = jax.jit(enh_model.init)(jax.random.key(1), x)
             state3 = create_train_state(params3, opt)
         state3, metrics = step3(state3, x, y)
         if it % 200 == 0 or it == args.steps3 - 1:
             print(
-                f"MISO3 step {it}: loss {float(metrics['loss']):.0f} "
+                f"{stage3_name} step {it}: loss {float(metrics['loss']):.0f} "
                 f"({time.perf_counter() - t0:.0f}s)",
                 flush=True,
             )
@@ -181,16 +204,18 @@ def main() -> None:
         n = mix_wave.shape[1]
         mix, ref_al, m1, bf = features(mix_wave, ref_wave)
         x, _ = build_enh_inputs(mix, ref_al, m1, bf)
-        enh = miso3.apply(state3.params, x)     # [B*S, 1, T, F]
+        enh = enh_model.apply(state3.params, x)
         b, s = m1.shape[0], m1.shape[1]
-        enh = enh.reshape(b, s, *enh.shape[2:])
+        if not args.joint:                      # [B*S, 1, T, F] -> [B, S, ...]
+            enh = enh.reshape(b, s, *enh.shape[2:])
         return (
             istft_scaled(m1, stft_cfg, n),
             istft_scaled(bf, stft_cfg, n),
             istft_scaled(enh, stft_cfg, n),
         )
 
-    scores = {"mixture": [], "miso1": [], "mvdr": [], "miso3": []}
+    enh_key = stage3_name.lower()
+    scores = {"mixture": [], "miso1": [], "mvdr": [], enh_key: []}
     for d in evals:
         refs = d["ref"]
         mix0 = d["mix"][:, ref_ch]
@@ -200,15 +225,15 @@ def main() -> None:
         )
         scores["miso1"].append(pit_si_sdr(np.asarray(m1w)[0], refs))
         scores["mvdr"].append(pit_si_sdr(np.asarray(bfw)[0], refs))
-        scores["miso3"].append(pit_si_sdr(np.asarray(enw)[0], refs))
+        scores[enh_key].append(pit_si_sdr(np.asarray(enw)[0], refs))
 
     print("\nstage-wise SI-SDR (dB), mean over eval utterances:", flush=True)
-    for k in ("mixture", "miso1", "mvdr", "miso3"):
+    for k in ("mixture", "miso1", "mvdr", enh_key):
         print(f"  {k:8s} {np.mean(scores[k]):7.2f}", flush=True)
 
     if args.save:
         save_checkpoint(args.save, "miso1", state1, {})
-        save_checkpoint(args.save, "miso3", state3, {})
+        save_checkpoint(args.save, enh_key, state3, {})
         print(f"checkpoints saved to {args.save}", flush=True)
 
 
