@@ -159,6 +159,60 @@ class CascadeEvaluator:
         self._decode_align = jax.jit(_decode_align)
         self._decode_align_refless = jax.jit(_decode_align_refless)
 
+        # Utterance-mode beamforming as ONE dispatch: per-chunk iSTFT ->
+        # stitch (a pure reshape on the bucketed chunk layout) -> sample
+        # mask past out_len (the gap trim) -> masked full-utterance re-STFT
+        # -> one SCM over all real frames -> MVDR (tester.py:340-451).
+        chunk = ds_cfg.chunk_samples
+
+        def _bf_utt(full, pieces_t, t_valid, out_len):
+            est_wav = istft_scaled(full, stft_cfg, chunk)  # [Nb, S, C, chunk]
+            nb_, s, c, _ = est_wav.shape
+            stitched = est_wav.transpose(1, 2, 0, 3).reshape(
+                s, c, nb_ * chunk
+            )
+            smask = (
+                jnp.arange(nb_ * chunk) < out_len
+            ).astype(stitched.dtype)
+            stitched = stitched * smask
+            mix_full = pieces_t.transpose(1, 0, 2).reshape(
+                c, nb_ * chunk
+            ) * smask
+            src = _mask_frames(stft_scaled(stitched, stft_cfg), t_valid)
+            mixs = _mask_frames(stft_scaled(mix_full, stft_cfg), t_valid)
+            return jax.vmap(
+                lambda s_: mvdr_beamform(
+                    s_[None], mixs[None], ref_ch=ref_ch,
+                    power_iters=self.power_iters,
+                )[0]
+            )(src)                                         # [S, T_utt, F]
+
+        self._bf_utt = jax.jit(_bf_utt)
+
+        # Utterance-mode enhance tail as ONE dispatch: bucket-static masked
+        # iSTFT of the utterance-grid BF -> re-chunk (reshape) -> chunk-grid
+        # STFT -> conditioning pack -> MISO2/3 forward.  Also returns the
+        # BF wave so the host needs no separate synthesis dispatch.
+        if enhance_model is not None:
+
+            def _enh_utt(params, bf, miso1_ref, mix_stft, t_valid, out_len):
+                nb_ = mix_stft.shape[0]
+                bf_wave = istft_scaled_masked(
+                    bf, t_valid, stft_cfg, nb_ * chunk
+                )                                          # [S, Nb*chunk]
+                smask = (
+                    jnp.arange(nb_ * chunk) < out_len
+                ).astype(bf_wave.dtype)
+                bf_wave = bf_wave * smask
+                s = bf_wave.shape[0]
+                bf_chunks = bf_wave.reshape(s, nb_, chunk).transpose(1, 0, 2)
+                bf_stft = stft_scaled(bf_chunks, stft_cfg)  # [Nb, S, T, F]
+                return bf_wave, _packed(
+                    params, mix_stft, miso1_ref, bf_stft
+                )
+
+            self._enh_utt = jax.jit(_enh_utt)
+
     # ------------------------------------------------------------------
     def process(
         self, mix_wave: np.ndarray, refs: np.ndarray | None = None
@@ -174,7 +228,8 @@ class CascadeEvaluator:
                 [pieces, np.zeros((nb - n,) + pieces.shape[1:], pieces.dtype)]
             )
 
-        mix = self._stft(jnp.asarray(pieces.transpose(0, 2, 1)))  # [N,C,T,F]
+        pieces_t = jnp.asarray(pieces.transpose(0, 2, 1))  # [Nb, C, chunk]
+        mix = self._stft(pieces_t)                         # [Nb, C, T, F]
 
         # decode + per-chunk alignment (to clean references,
         # tester.py:125-147, or chained to the previous chunk when
@@ -203,28 +258,32 @@ class CascadeEvaluator:
         separated = self._stitch(miso1_ref, n, gap, out_len)   # [S, samples]
 
         beamformed = enhanced = None
-        if self.beamform_utterance or self.enhance_model is not None:
-            bf_stft = self._beamform(full, mix, pieces, mix_wave, n, gap)
-            # utterance mode yields [S, T, F]; chunk mode [N, S, T, F]
-            if bf_stft.ndim == 4:
-                beamformed = self._stitch(bf_stft, n, gap, out_len)
-                bf_chunks = bf_stft
-            else:
-                beamformed = self._istft_multi(bf_stft, out_len)
-                # the enhance nets always run per chunk (the reference's
-                # Tester_Enhance is chunk-mode, tester.py:846-975): slice
-                # the utterance-grid BF wave back onto the chunk frame
-                # grid.  Running them on the bucketed utterance grid
-                # instead would feed zero-pad frames into the IN/gLN
-                # statistics and skew every real frame's normalization.
-                bf_chunks = (
-                    self._rechunk(beamformed, nb)
-                    if self.enhance_model is not None
-                    else None
-                )
-
+        if not self.beamform_utterance:
             if self.enhance_model is not None:
-                enhanced_stft = self._enhance(mix, miso1_ref, bf_chunks)
+                # chunk mode (tester.py:453-543): MVDR per split
+                bf_stft = self._beamform_chunks(full, mix)   # [Nb, S, T, F]
+                beamformed = self._stitch(bf_stft, n, gap, out_len)
+                enhanced_stft = self._enhance(mix, miso1_ref, bf_stft)
+                enhanced = self._stitch(enhanced_stft, n, gap, out_len)
+            # else: separate-only evaluation (Tester_Separate) — no BF
+        else:
+            # utterance mode (tester.py:340-451), fused: stitch + masked
+            # re-STFT + full SCM + MVDR ride ONE dispatch; the enhance
+            # nets then run per chunk on the re-chunked BF wave (the
+            # reference's Tester_Enhance is chunk-mode, tester.py:846-975
+            # — a bucketed utterance grid would feed zero-pad frames into
+            # the IN/gLN statistics), fused with the BF synthesis into a
+            # second dispatch.
+            t_valid = cfg.num_frames(out_len)
+            bf = self._bf_utt(full, pieces_t, t_valid, out_len)
+            if self.enhance_model is None:
+                beamformed = self._istft_multi(bf, out_len)
+            else:
+                bf_wave, enhanced_stft = self._enh_utt(
+                    self.enhance_params, bf, miso1_ref, mix, t_valid,
+                    out_len,
+                )
+                beamformed = np.asarray(bf_wave)[:, :out_len]
                 enhanced = self._stitch(enhanced_stft, n, gap, out_len)
 
         scores: dict[str, float] = {}
@@ -268,65 +327,17 @@ class CascadeEvaluator:
         wav = istft_scaled_masked(spec, t_valid, self.stft_cfg, bucket)
         return np.asarray(wav)[..., :out_len]
 
-    def _beamform(self, full, mix, pieces, mix_wave, n, gap):
-        """Returns bf_stft: [S, T_utt, F] (utterance mode) or
-        [N, S, T, F] (chunk mode)."""
-        ds, cfg = self.ds, self.stft_cfg
-        if not self.beamform_utterance:
-            # chunk mode (tester.py:453-543): MVDR per split
-            bf = jax.vmap(
-                lambda s_: mvdr_beamform(
-                    s_, mix, ref_ch=ds.ref_ch, power_iters=self.power_iters
-                ),
-                in_axes=1,
-                out_axes=1,
-            )(full)                                      # [N, S, T, F]
-            return bf
-
-        # utterance mode (tester.py:340-451): stitch per-speaker
-        # multi-channel time-domain estimates, re-STFT at full length.
-        chunk = ds.chunk_samples
-        out_len = mix_wave.shape[0]
-        est_wav = istft_scaled(full, cfg, chunk)         # [Nb, S, C, chunk]
-        est_wav = np.asarray(est_wav[:n])                # [N, S, C, chunk]
-        s, c = est_wav.shape[1], est_wav.shape[2]
-        stitched = est_wav.transpose(1, 2, 0, 3).reshape(s, c, -1)
-        stitched = stitched[:, :, : n * chunk - gap]     # [S, C, samples]
-        # pad to bucketed length for static jit shapes
-        bucket = _next_bucket(max(1, -(-out_len // chunk))) * chunk
-        pad = bucket - stitched.shape[-1]
-        stitched = np.pad(stitched, [(0, 0), (0, 0), (0, pad)])
-        mix_full = np.pad(mix_wave.T, [(0, 0), (0, bucket - out_len)])
-
-        # exact-length scipy frame count (ceil over the hop — NOT
-        # out_len // hop + 1, which undercounts by one whenever out_len is
-        # not a hop multiple and would zero a REAL tail frame)
-        t_valid = cfg.num_frames(out_len)
-        src_stft = self._stft_masked(jnp.asarray(stitched), t_valid)
-        mix_stft = self._stft_masked(jnp.asarray(mix_full), t_valid)
-        bf = jax.vmap(
+    def _beamform_chunks(self, full, mix):
+        """Chunk mode (tester.py:453-543): MVDR per split, every chunk and
+        speaker batched through one vmapped (single-dispatch) computation."""
+        ds = self.ds
+        return jax.vmap(
             lambda s_: mvdr_beamform(
-                s_[None], mix_stft[None], ref_ch=ds.ref_ch,
-                power_iters=self.power_iters,
-            )[0]
-        )(src_stft)                                      # [S, T, F]
-        return bf
-
-    def _rechunk(self, waves: np.ndarray, nb: int) -> jnp.ndarray:
-        """[S, samples] stage output -> bucketed per-chunk STFT
-        [nb, S, T, F] on the standard chunk frame grid (each chunk framed
-        standalone, exactly like the reference loader frames its splits,
-        data.py:510-556)."""
-        pieces, _ = split_chunks(
-            np.ascontiguousarray(waves.T), self.ds.chunk_samples
-        )                                                # [N, chunk, S]
-        if nb > pieces.shape[0]:
-            pieces = np.concatenate(
-                [pieces,
-                 np.zeros((nb - pieces.shape[0],) + pieces.shape[1:],
-                          pieces.dtype)]
-            )
-        return self._stft(jnp.asarray(pieces.transpose(0, 2, 1)))
+                s_, mix, ref_ch=ds.ref_ch, power_iters=self.power_iters
+            ),
+            in_axes=1,
+            out_axes=1,
+        )(full)                                          # [Nb, S, T, F]
 
     def _enhance(self, mix_stft, miso1_ref, bf_stft):
         """Per-chunk MISO2/3 on [N, S, T, F] stacks — every chunk sits on
