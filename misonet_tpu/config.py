@@ -111,6 +111,12 @@ class ModelConfig:
     # then need pltpu.force_tpu_interpret_mode()); False disables it.
     # Numerics match the plain path to bf16 rounding.
     flat_dense: bool | str = "auto"
+    # Opt-in int8 DenseBlock matmuls on the fused flat path (decode /
+    # inference ONLY — the int8 kernels define no VJP).  IN-normalized
+    # activations quantize with a static power-of-two scale and weights
+    # per-output-row; the ELU/IN epilogue stays float.  See PERF.md r5
+    # for the measured throughput/accuracy trade on v5e.
+    quant_int8: bool = False
     # Shard the TCN bottleneck's time axis over the mesh with halo
     # exchange + collective norm statistics (parallel/tcn_sp.py) — for
     # long-form utterances whose frame count exceeds one chip (SURVEY.md
@@ -196,6 +202,7 @@ def _model_from_yaml(d: dict[str, Any]) -> ModelConfig:
         tcn_repeats=int(d.get("tcn_repeats", 2)),
         tcn_blocks=int(d.get("tcn_blocks", 7)),
         flat_dense=d.get("flat_dense", "auto"),
+        quant_int8=bool(d.get("quant_int8", False)),
     )
 
 

@@ -181,7 +181,7 @@ class DenseBlockFlat(nn.Module):
 
     @nn.compact
     def __call__(self, bundle, *, t: int, f: int, tile_m: int = 2048,
-                 precise: bool = False):
+                 precise: bool = False, quant: bool = False):
         from misonet_tpu.ops.pallas.dense_stack import dense_block_stacked
 
         tensors, scales, means = bundle
@@ -208,7 +208,7 @@ class DenseBlockFlat(nn.Module):
         ]
         y, su, sq = dense_block_stacked(
             tensors, scales, means, kernels, biases,
-            t=t, f=f, tile_m=tile_m, precise=precise,
+            t=t, f=f, tile_m=tile_m, precise=precise, quant=quant,
         )
         sc, mn = stats_to_scale_mean(su, sq, t * f)
         return y, sc, mn

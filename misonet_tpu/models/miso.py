@@ -94,6 +94,8 @@ class MISONet(nn.Module):
         )
         precise = self.cfg.compute_dtype == "float32"
         fdt = jnp.float32 if precise else jnp.bfloat16
+        # int8 DenseBlock matmuls (decode-only, ModelConfig.quant_int8)
+        qnt = bool(getattr(self.cfg, "quant_int8", False)) and not precise
         if not flat:
             x = x_cm.transpose(0, 2, 3, 1).astype(dtype)  # [B, T, F, 2C]
         skips = []       # NHWC arrays, or (bundle, f, tile) on the flat path
@@ -111,7 +113,8 @@ class MISONet(nn.Module):
                 )
                 bundle = DenseBlockFlat(
                     en[0], en[0], name="enc0_dense"
-                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
+                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise,
+                  quant=qnt)
                 skips.append((bundle, fc, tile))
                 continue
             if flat and 1 <= i <= 4:
@@ -124,7 +127,8 @@ class MISONet(nn.Module):
                 fc, tile = f_out, tile_out
                 bundle = DenseBlockFlat(
                     en[i], en[i], name=f"enc{i}_dense"
-                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise)
+                )(bundle, t=tc, f=fc, tile_m=tile, precise=precise,
+                  quant=qnt)
                 skips.append((bundle, fc, tile))
                 continue
             if flat and i == 5:
@@ -190,7 +194,8 @@ class MISONet(nn.Module):
                 cin = sum(t_.shape[1] for t_ in merged[0])
                 bundle = DenseBlockFlat(
                     cin // 2, cin, name=f"dec{i}_dense"
-                )(merged, t=tc, f=fc, tile_m=tile, precise=precise)
+                )(merged, t=tc, f=fc, tile_m=tile, precise=precise,
+                  quant=qnt)
                 if i == nb - 1:
                     # final bare transpose conv fused on the flat layout;
                     # output assembled channel-major directly (no NHWC)

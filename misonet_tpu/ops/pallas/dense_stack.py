@@ -60,6 +60,14 @@ from misonet_tpu.ops.pallas.dense_flat import MASK_ROWS, _round_up, tap_pieces
 
 K_MASK = 16  # one 16-row block of indicator fields (9 used, 7 zero)
 
+# int8 decode path (inference-only, PERF.md roadmap #2): activations are
+# IN-normalized (unit variance) so a STATIC power-of-two scale suffices —
+# q = round(x * 16) clips at +-7.94 sigma, and the indicator fields (0/1)
+# quantize exactly to 16.  Weights take a per-output-row maxabs scale.
+# Measured on v5e (scripts/probe_int8.py): int8 x int8 -> int32 beats
+# bf16 by 1.39-1.73x at the stacked shapes (N=24..144, K=224..448).
+QS = 16.0
+
 
 def pack_plan(widths, q):
     """Patch-row layout: the (tensor, tap) pieces in order, greedily packed
@@ -87,11 +95,14 @@ def pack_plan(widths, q):
 
 
 def _kernel(widths, plan, k_data, n_total, n_fin, n_m, tile_m, fp, f, m_out,
-            t_frames, slack, have_acc, pdt, adt, *refs):
+            t_frames, slack, have_acc, pdt, adt, qmode, *refs):
     nt = len(widths)
     n_rest = n_total - n_fin
+    kmask = 32 if qmode else K_MASK
     x_hbms, rest = refs[:nt], refs[nt:]
     (scale_ref, w_ref, bias_ref), rest = rest[:3], rest[3:]
+    if qmode:
+        rs_ref, rest = rest[0], rest[1:]
     if have_acc:
         acc_in_ref, rest = rest[0], rest[1:]
     (y_ref, sum_ref, sq_ref), rest = rest[:3], rest[3:]
@@ -148,10 +159,10 @@ def _kernel(widths, plan, k_data, n_total, n_fin, n_m, tile_m, fp, f, m_out,
         #   r=0: 1   r=1: [t==0]   r=2: [t==T-1]   r=3: [f==0]  r=4: [f==F-1]
         #   r=5..8: the four corner products       r>=9: 0
         cols0 = (
-            jax.lax.broadcasted_iota(jnp.int32, (K_MASK, tile_m), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (kmask, tile_m), 1)
             + mm * tile_m
         )
-        rows = jax.lax.broadcasted_iota(jnp.int32, (K_MASK, tile_m), 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (kmask, tile_m), 0)
         fcol = cols0 & (fp - 1)
         t0 = cols0 < fp
         tN = (cols0 >= (t_frames - 1) * fp) & (cols0 < m_out)
@@ -168,7 +179,13 @@ def _kernel(widths, plan, k_data, n_total, n_fin, n_m, tile_m, fp, f, m_out,
             | ((rows == 7) & tN & f0)
             | ((rows == 8) & tN & fN)
         )
-        p_ref[k_data : k_data + K_MASK, :] = field.astype(pdt)
+        if qmode:
+            # 0/1 fields carry the patch scale QS=16 exactly in int8
+            p_ref[k_data : k_data + kmask, :] = (
+                field.astype(jnp.int32) * int(QS)
+            ).astype(jnp.int8)
+        else:
+            p_ref[k_data : k_data + kmask, :] = field.astype(pdt)
 
         @pl.when(mm % 2 == 0)
         def _():
@@ -189,6 +206,11 @@ def _kernel(widths, plan, k_data, n_total, n_fin, n_m, tile_m, fp, f, m_out,
                 ch = win[:, :].astype(jnp.float32) * scale_ref[
                     0, off_c : off_c + widths[ti], :
                 ]
+                if qmode:
+                    # quantize ONCE per window (taps are lane shifts of
+                    # the same window; integer-valued f32 rolls exactly,
+                    # so per-tap stores reduce to a bare int8 convert)
+                    ch = jnp.clip(jnp.round(ch * QS), -127.0, 127.0)
                 piece_cache[ti] = dict(tap_pieces(ch, fp, tile_m, slack))
             return piece_cache[ti]
 
@@ -199,11 +221,21 @@ def _kernel(widths, plan, k_data, n_total, n_fin, n_m, tile_m, fp, f, m_out,
             block = parts[0] if len(parts) == 1 else jnp.concatenate(
                 parts, axis=0
             )
-            p_ref[g_off : g_off + block.shape[0], :] = block.astype(pdt)
-        z = jax.lax.dot_general(
-            w_ref[0], p_ref[:, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            p_ref[g_off : g_off + block.shape[0], :] = block.astype(
+                jnp.int8 if qmode else pdt
+            )
+        if qmode:
+            zi = jax.lax.dot_general(
+                w_ref[0], p_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            # rs_ref carries (row_scale / QS): one multiply dequantizes
+            z = zi.astype(jnp.float32) * rs_ref[0]
+        else:
+            z = jax.lax.dot_general(
+                w_ref[0], p_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         if have_acc:
             acc = acc_in_ref[0].astype(jnp.float32)
@@ -279,7 +311,7 @@ def stack_wb(w_stack: jnp.ndarray, widths, plan,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t", "f", "n_fin", "tile_m", "precise"),
+    static_argnames=("t", "f", "n_fin", "tile_m", "precise", "quant"),
 )
 def dense_stack_flat(
     xs: tuple,            # source tensors [B, g_i, Wx], flat layout, raw
@@ -294,6 +326,7 @@ def dense_stack_flat(
     n_fin: int,
     tile_m: int = 2048,
     precise: bool = False,
+    quant: bool = False,
 ):
     """One stacked DenseBlock call: convolve the newly available source
     tensor(s) with the stacked kernels of all consuming layers, finalize
@@ -321,18 +354,32 @@ def dense_stack_flat(
     assert slack <= tile_m and slack % 128 == 0, (slack, tile_m)
     pdt = jnp.float32 if precise else jnp.bfloat16
     adt = jnp.float32 if precise else jnp.bfloat16
-    q = 8 if precise else 16
+    if quant:
+        # int8 decode path: patch stores need (32, 128)-tile alignment,
+        # and the 16 mean-correction rows pad to one 32-row block
+        assert not precise, "quant=True is bf16-epilogue only"
+        q, kmask, p_dt = 32, 32, jnp.int8
+    else:
+        q, kmask, p_dt = (8 if precise else 16), K_MASK, pdt
     plan, k_data = pack_plan(tuple(widths), q)
-    k_total = k_data + K_MASK
+    k_total = k_data + kmask
 
-    wb = stack_wb(w_stack, widths, plan, scale, mean, pdt)
+    wb = stack_wb(w_stack, widths, plan, scale, mean,
+                  jnp.float32 if quant else pdt)
+    if quant:
+        wb = jnp.pad(wb, ((0, 0), (0, 0), (0, kmask - K_MASK)))
+        rs = jnp.maximum(
+            jnp.max(jnp.abs(wb), axis=2, keepdims=True), 1e-20
+        ) / 127.0
+        wb = jnp.clip(jnp.round(wb / rs), -127.0, 127.0).astype(jnp.int8)
+        rs_qs = (rs / QS).astype(jnp.float32)   # [B, N, 1] dequant factor
     scale3 = scale[:, :, None]
     bias2 = bias.reshape(n_fin, 1).astype(jnp.float32)
 
     have_acc = acc_in is not None
     kern = functools.partial(
         _kernel, tuple(widths), plan, k_data, n_total, n_fin, n_m,
-        tile_m, fp, f, m_out, t, slack, have_acc, pdt, adt,
+        tile_m, fp, f, m_out, t, slack, have_acc, pdt, adt, quant,
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, n_fin, xw), pdt),
@@ -362,6 +409,12 @@ def dense_stack_flat(
                      memory_space=pltpu.VMEM),
     ]
     operands = list(xs) + [scale3, wb, bias2]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((1, n_total, 1), lambda bb, m: (bb, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(rs_qs)
     if have_acc:
         in_specs.append(
             pl.BlockSpec((1, n_total, tile_m), lambda bb, m: (bb, 0, m),
@@ -373,7 +426,7 @@ def dense_stack_flat(
         pltpu.VMEM((2, width, w_win), x.dtype)
         for width, x in zip(widths, xs)
     ] + [
-        pltpu.VMEM((k_total, tile_m), pdt),
+        pltpu.VMEM((k_total, tile_m), p_dt),
         pltpu.VMEM((n_fin, 1), jnp.float32),
         pltpu.VMEM((n_fin, 1), jnp.float32),
         pltpu.SemaphoreType.DMA((len(xs), 2)),
@@ -568,11 +621,18 @@ def _stack_ad(t, f, tile_m, n_fin, precise, have_acc):
 
 
 def dense_stack_flat_ad(xs, acc_in, w_stack, bias, scale, mean, *, t, f,
-                        n_fin, tile_m=2048, precise=False):
+                        n_fin, tile_m=2048, precise=False, quant=False):
     """Differentiable dense_stack_flat.  Returns (y, sums, sqs, acc_out)
-    with acc_out None on the last call."""
+    with acc_out None on the last call.  ``quant=True`` takes the int8
+    inference path (no VJP — decode only)."""
     if not isinstance(xs, (tuple, list)):
         xs = (xs,)
+    if quant:
+        return dense_stack_flat(
+            tuple(xs), acc_in, w_stack, bias, scale, mean,
+            t=t, f=f, n_fin=n_fin, tile_m=tile_m, precise=precise,
+            quant=True,
+        )
     have_acc = acc_in is not None
     fn = _stack_ad(t, f, tile_m, n_fin, precise, have_acc)
     args = (tuple(xs), acc_in, w_stack, bias, scale, mean) if have_acc else (
@@ -584,7 +644,7 @@ def dense_stack_flat_ad(xs, acc_in, w_stack, bias, scale, mean, *, t, f,
 
 
 def dense_block_stacked(tensors, scales, means, kernels, biases, *, t, f,
-                        tile_m, precise=False):
+                        tile_m, precise=False, quant=False):
     """Full 5-layer DenseBlock via stacked calls.
 
     tensors: tuple of raw flat source tensors (the block input bundle);
@@ -606,6 +666,7 @@ def dense_block_stacked(tensors, scales, means, kernels, biases, *, t, f,
         y, su, sq, acc = dense_stack_flat_ad(
             src, acc, w_stack, biases[s], src_scale, src_mean,
             t=t, f=f, n_fin=widths[s], tile_m=tile_m, precise=precise,
+            quant=quant,
         )
         if s == 4:
             return y, su, sq

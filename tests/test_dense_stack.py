@@ -127,3 +127,44 @@ def test_stacked_bf16_forward_error_bound():
     np.testing.assert_allclose(out / scale, ref / scale, atol=4e-2)
     corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_stacked_int8_quant_error_bound():
+    """int8 decode path (dense_stack_flat quant=True) vs the f32 plain
+    DenseBlock: activations quantize at a static power-of-two scale
+    (QS=16 on IN-normalized inputs), weights per-output-row — the error
+    class is ~int8 SQNR (rms ~3% of the unit-variance output), an order
+    above bf16 but far below model accuracy (PERF.md r5).  Covers the
+    single-tensor encoder bundle and the two-tensor decoder skip bundle
+    (multi-group pack_plan at q=32)."""
+    b, t, f = 2, 10, 7
+    g1, g2 = 8, 16
+    rng = np.random.default_rng(11)
+    xa = jnp.asarray(rng.standard_normal((b, t, f, 8)).astype(np.float32))
+    xb = jnp.asarray(rng.standard_normal((b, t, f, 8)).astype(np.float32))
+
+    plain = DenseBlock(g1, g2)
+    for tensors in [(xa,), (xa, xb)]:
+        x = jnp.concatenate(tensors, axis=-1)
+        params = plain.init(jax.random.key(1), x)
+        ref = np.asarray(plain.apply(params, x))
+
+        flat = DenseBlockFlat(g1, g2)
+        with pltpu.force_tpu_interpret_mode():
+            merged = merge_bundles(*[
+                to_flat_bundle(xi, normalized=True, tile_m=256,
+                               dtype=jnp.bfloat16)
+                for xi in tensors
+            ])
+            y, sc, mn = flat.apply(params, merged, t=t, f=f, tile_m=256,
+                                   quant=True)
+            out = np.asarray(
+                from_flat_bundle((y, sc, mn), t, f, jnp.float32, tile_m=256)
+            )
+
+        d = out - ref
+        rms = np.sqrt((d ** 2).mean()) / (np.sqrt((ref ** 2).mean()) + 1e-9)
+        assert rms < 0.08, rms
+        assert np.abs(d).max() < 0.4 * np.abs(ref).max(), np.abs(d).max()
+        corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.995, corr
