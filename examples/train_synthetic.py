@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--eval-utts", type=int, default=8)
     ap.add_argument("--samples", type=int, default=32000)
     ap.add_argument("--save", default="")
+    ap.add_argument("--voiced", action="store_true",
+                    help="harmonic pseudo-speech sources (the cascade "
+                         "demo's regime) instead of modulated noise")
     args = ap.parse_args()
 
     stft_cfg = StftConfig()
@@ -67,9 +70,13 @@ def main() -> None:
 
     print(f"platform={platform} compute={compute}", flush=True)
     print("generating data...", flush=True)
-    train = [synth_mixture(i, args.samples, 6) for i in range(args.train_utts)]
+    train = [
+        synth_mixture(i, args.samples, 6, voiced=args.voiced)
+        for i in range(args.train_utts)
+    ]
     evals = [
-        synth_mixture(10_000 + i, args.samples, 6) for i in range(args.eval_utts)
+        synth_mixture(10_000 + i, args.samples, 6, voiced=args.voiced)
+        for i in range(args.eval_utts)
     ]
     mix_all = np.stack([d["mix"] for d in train])  # [N, S, C]
     ref_all = np.stack([d["ref"] for d in train])  # [N, 2, S]
