@@ -175,17 +175,28 @@ RIR_mixing:
     assert list((tmp_path / "shards").glob("*.npz"))
 
 
-@pytest.mark.slow
-def test_cli_train_miso1(corpus_and_config):
+@pytest.fixture()
+def shards(corpus_and_config):
+    """Ensure extraction has produced shards — keeps the slow train/test
+    CLI tests self-contained when run without the (fast) extraction test
+    (e.g. ``pytest -m slow``)."""
     root, cfg = corpus_and_config
+    if not list((root / "shards").glob("*.npz")):
+        _run(["-c", str(cfg), "-m", "Extraction"], ROOT)
+    return root, cfg
+
+
+@pytest.mark.slow
+def test_cli_train_miso1(shards):
+    root, cfg = shards
     _run(["-c", str(cfg), "-m", "Train", "-t", "MISO1",
           "-n", str(root / "logs")], ROOT)
     assert (root / "model_result/miso1/best").exists()
 
 
 @pytest.mark.slow
-def test_cli_test_miso1(corpus_and_config):
-    root, cfg = corpus_and_config
+def test_cli_test_miso1(shards):
+    root, cfg = shards
     if not (root / "model_result/miso1/best").exists():
         # self-contained when run without test_cli_train_miso1 (-k/-x runs)
         _run(["-c", str(cfg), "-m", "Train", "-t", "MISO1",
