@@ -96,7 +96,7 @@ def main() -> None:
     # warmup: compile every bucket signature once
     ev.evaluate_corpus(specs, args.dir, write=False, workers=1)
 
-    for workers in (1, 2, 4):
+    for workers in (1, 2, 4, 8):
         t0 = time.perf_counter()
         ev.evaluate_corpus(specs, args.dir, write=False, workers=workers)
         dt = time.perf_counter() - t0
