@@ -5,6 +5,8 @@ Modes (reference run.py:278-292):
   Extraction   wav corpus -> chunked shards        (-m Extraction)
   Train        MISO1 / MISO2 / MISO3 training      (-m Train -t <stage>)
   Test         MISO1 / Beamforming / MISO2 / MISO3 (-m Test -t <stage>)
+               + CSS: streaming block-wise long-form separation
+               (beyond the reference; --css-overlap for cross-fade)
 
 Usage:
   python run.py -c configs/smswsj.yml -m Train -t MISO1 -n logs/run1
@@ -46,7 +48,7 @@ def main() -> None:
         "-t",
         "--target",
         default="MISO1",
-        choices=["MISO1", "Beamforming", "MISO2", "MISO3"],
+        choices=["MISO1", "Beamforming", "MISO2", "MISO3", "CSS"],
     )
     ap.add_argument(
         "-u",
@@ -71,6 +73,13 @@ def main() -> None:
         help="utterances pipelined through the evaluator: one utterance's "
         "host half (wav IO/stitch/scoring) overlaps another's device half "
         "(PERF.md round 5; 4 measured best on the bench box)",
+    )
+    ap.add_argument(
+        "--css-overlap",
+        type=int,
+        default=0,
+        help="-t CSS: block overlap in samples (cross-fade stitching); "
+        "0 = edge-to-edge blocks (the reference's chunked semantics)",
     )
     ap.add_argument(
         "--split",
@@ -260,9 +269,68 @@ def _train(cfg, args) -> None:
     trainer.train()
 
 
+def _pit_np(est, refs) -> float:
+    """Permutation-optimal mean SI-SDR, host-side numpy ([S, T] arrays)."""
+    import itertools
+
+    import numpy as np
+
+    from misonet_tpu.metrics import numpy_si_sdr
+
+    spks = range(est.shape[0])
+    return float(max(
+        np.mean([numpy_si_sdr(est[p[s]], refs[s]) for s in spks])
+        for p in itertools.permutations(spks)
+    ))
+
+
+def _test_css(cfg, args) -> None:
+    """-m Test -t CSS: stream each test utterance through the block-wise
+    CSS pipeline (inference/css.py: running per-speaker SCMs + adaptive
+    MVDR — beyond the reference, whose only long-form path is one
+    host-side utterance SCM, tester.py:426-441).  Writes per-speaker
+    MISO1 and Beamforming wavs and reports stage-wise PIT-SI-SDR."""
+    import numpy as np
+
+    from misonet_tpu.data.wavio import read_wav, write_wav
+    from misonet_tpu.inference.css import StreamingCSS
+    from misonet_tpu.models import make_miso1
+
+    ds = cfg.dataset
+    miso1 = make_miso1(cfg.miso1)
+    css = StreamingCSS(miso1, _load_miso1(cfg, miso1), cfg.stft, ds)
+    specs = _discover(cfg, args.split or ds.test_file)
+    out = Path(args.logdir) / "wav_out"
+    agg: dict[str, list[float]] = {"mixture": [], "miso1": [], "beamformed": []}
+    for spec in specs[: args.max_utts]:
+        mix, fs = read_wav(spec.mix_path)
+        mix = mix[:, : ds.num_ch_utilize]
+        res = css.process(mix, overlap=args.css_overlap)
+        for stage in ("miso1", "beamformed"):
+            for sp in range(res[stage].shape[0]):
+                write_wav(
+                    out / stage / f"{spec.utt_id}_{sp}.wav",
+                    res[stage][sp], fs, subtype=args.wav_subtype,
+                )
+        if spec.source_paths:
+            refs = np.stack([read_wav(p)[0] for p in spec.source_paths])
+            n = min(refs.shape[-1], mix.shape[0])
+            mix0 = np.stack([mix[:n, ds.ref_ch]] * refs.shape[0])
+            agg["mixture"].append(_pit_np(mix0, refs[:, :n]))
+            agg["miso1"].append(_pit_np(res["miso1"][:, :n], refs[:, :n]))
+            agg["beamformed"].append(
+                _pit_np(res["beamformed"][:, :n], refs[:, :n])
+            )
+    scores = {k: float(np.mean(v)) for k, v in agg.items() if v}
+    print("mean PIT-SI-SDR per stage:", scores)
+
+
 def _test(cfg, args) -> None:
     from misonet_tpu.inference.evaluate import CascadeEvaluator
     from misonet_tpu.models import make_miso1, make_miso2, make_miso3
+
+    if args.target == "CSS":
+        return _test_css(cfg, args)
 
     ds = cfg.dataset
     miso1 = make_miso1(cfg.miso1)

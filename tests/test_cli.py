@@ -212,3 +212,36 @@ def test_cli_test_miso1(shards):
 
     data, sr = read_wav(wavs[0])
     assert np.isfinite(data).all() and sr > 0
+
+
+def test_cli_test_css(corpus_and_config):
+    """-m Test -t CSS streams utterances through the block-wise CSS
+    pipeline (run.py _test_css).  Fast: the MISO1 'best' checkpoint is
+    synthesized (init + save) rather than trained."""
+    root, cfg = corpus_and_config
+    best = root / "model_result/miso1/best"
+    if not best.exists():
+        import jax
+        import jax.numpy as jnp
+
+        from misonet_tpu.config import load_yaml
+        from misonet_tpu.models import make_miso1
+        from misonet_tpu.train.state import create_train_state, make_optimizer
+        from misonet_tpu.utils.checkpoint import save_checkpoint
+
+        c = load_yaml(cfg)
+        model = make_miso1(c.miso1)
+        probe = jax.lax.complex(
+            jnp.zeros((1, c.dataset.num_ch_utilize, 8, c.stft.num_bins)),
+            jnp.zeros((1, c.dataset.num_ch_utilize, 8, c.stft.num_bins)),
+        )
+        params = model.init(jax.random.key(0), probe)
+        state = create_train_state(params, make_optimizer(c.optimizer))
+        save_checkpoint(best.parent, best.name, state, {})
+
+    _run(["-c", str(cfg), "-m", "Test", "-t", "CSS",
+          "-n", str(root / "css_eval"), "--max-utts", "2",
+          "--css-overlap", "500"], ROOT)
+    wavs = list((root / "css_eval" / "wav_out").rglob("*.wav"))
+    # 2 utts x 2 speakers x 2 stages (miso1 + beamformed)
+    assert len(wavs) == 8, wavs
