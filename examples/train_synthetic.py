@@ -61,21 +61,38 @@ def main() -> None:
     ap.add_argument("--voiced", action="store_true",
                     help="harmonic pseudo-speech sources (the cascade "
                          "demo's regime) instead of modulated noise")
+    ap.add_argument("--config", default="",
+                    help="YAML config (e.g. configs/reverb_2mix.yml): "
+                         "takes the model plan, STFT and mic count from it "
+                         "instead of the SMS-WSJ defaults")
     args = ap.parse_args()
 
-    stft_cfg = StftConfig()
+    import dataclasses
+
+    num_ch = 6
+    if args.config:
+        from misonet_tpu.config import load_yaml
+
+        cfg = load_yaml(args.config)
+        stft_cfg = cfg.stft
+        num_ch = cfg.dataset.num_ch_utilize
+        mcfg = cfg.miso1
+    else:
+        stft_cfg = StftConfig()
+        mcfg = ModelConfig()
     platform = jax.devices()[0].platform
     compute = "bfloat16" if platform != "cpu" else "float32"
-    model = make_miso1(ModelConfig(compute_dtype=compute))
+    model = make_miso1(dataclasses.replace(mcfg, compute_dtype=compute))
 
-    print(f"platform={platform} compute={compute}", flush=True)
+    print(f"platform={platform} compute={compute} ch={num_ch} "
+          f"F={stft_cfg.num_bins}", flush=True)
     print("generating data...", flush=True)
     train = [
-        synth_mixture(i, args.samples, 6, voiced=args.voiced)
+        synth_mixture(i, args.samples, num_ch, voiced=args.voiced)
         for i in range(args.train_utts)
     ]
     evals = [
-        synth_mixture(10_000 + i, args.samples, 6, voiced=args.voiced)
+        synth_mixture(10_000 + i, args.samples, num_ch, voiced=args.voiced)
         for i in range(args.eval_utts)
     ]
     mix_all = np.stack([d["mix"] for d in train])  # [N, S, C]
@@ -89,19 +106,33 @@ def main() -> None:
 
     # Stage the whole corpus in HBM once; batches are gathered on device so
     # the host ships nothing per step (the tunnel transfer would otherwise
-    # dominate the 130 ms step).
-    mix_dev = jnp.asarray(mix_all)
-    ref_dev = jnp.asarray(ref_all)
+    # dominate the 130 ms step).  Ship in <=128 MB slices — the relay
+    # rejects single transfer bodies past ~256 MB (HTTP 413).
+    def stage(a: np.ndarray) -> jnp.ndarray:
+        n = max(1, -(-a.nbytes // (128 << 20)))
+        k = -(-len(a) // n)
+        pieces = []
+        for i in range(n):
+            p = jnp.asarray(a[i * k : (i + 1) * k])
+            float(p.ravel()[0])  # force this slice's transfer through
+            pieces.append(p)
+        return pieces[0] if n == 1 else jnp.concatenate(pieces, axis=0)
 
+    mix_dev = stage(mix_all)
+    ref_dev = stage(ref_all)
+
+    # corpus arrays are jit ARGUMENTS, not closure constants — a closed-over
+    # value can be inlined into the compiled program, and a corpus-sized
+    # literal overflows the relay's compile-request body (HTTP 413)
     @jax.jit
-    def gather(idx):
+    def gather(mix_dev, ref_dev, idx):
         return jnp.take(mix_dev, idx, axis=0), jnp.take(ref_dev, idx, axis=0)
 
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     for it in range(args.steps):
         idx = jnp.asarray(rng.integers(0, args.train_utts, args.batch))
-        mix_b, ref_b = gather(idx)
+        mix_b, ref_b = gather(mix_dev, ref_dev, idx)
         state, metrics = step(state, mix_b, ref_b)
         if it % 100 == 0 or it == args.steps - 1:
             loss = float(metrics["loss"])  # forces completion
