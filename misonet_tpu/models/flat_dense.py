@@ -125,7 +125,8 @@ def resolve_flat(setting, *, num_bins: int, nb: int, en, de_full) -> bool:
     raise ValueError(f"flat_dense must be True, False or 'auto', got {setting!r}")
 
 
-def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int) -> int:
+def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int,
+                precise: bool = False) -> int:
     """Lane-tile size for a DenseBlock geometry: small enough that the
     heaviest stacked call's buffers fit VMEM comfortably and the grid has
     a few data tiles to pipeline, large enough to amortize per-tile
@@ -144,7 +145,12 @@ def pick_tile_m(t: int, f: int, init_ch: int, g1: int, g2: int) -> int:
     r16 = -(-init_ch // 16) * 16
     k0 = 9 * 2 * r16 + 16
     n_tot = 4 * g1 + 2 * g2
-    bytes_per_col = 2 * k0 + 8 * n_tot + 4 * g2 + 4 * r16
+    # precise mode stores the patch, windows and acc in f32 — double those
+    # terms or the real compiler's 16 MB scoped-vmem limit is exceeded
+    # (found by compiling entry()'s float32 flagship on the chip; the
+    # interpret backend never enforces the limit)
+    el = 4 if precise else 2
+    bytes_per_col = el * k0 + 8 * n_tot + 4 * g2 + 2 * el * r16
     tile = 4096
     while tile > 2 * slack and m_out < 4 * tile:
         tile //= 2

@@ -105,7 +105,8 @@ class MISONet(nn.Module):
             freq_stride = 1 if i in (0, nb - 1) else 2
             if flat and i == 0:
                 tc, fc = x_cm.shape[2], mixture.shape[3] - 2
-                tile = pick_tile_m(tc, fc, en[0], en[0], en[0])
+                tile = pick_tile_m(tc, fc, en[0], en[0], en[0],
+                                   precise=precise)
                 # enc0's trunk has no ELU/IN (reference init_Conv2d_,
                 # model.py:401-406): consumed as-is -> identity stats
                 bundle = Enc0Flat(en[0], name="enc0")(
@@ -119,7 +120,8 @@ class MISONet(nn.Module):
                 continue
             if flat and 1 <= i <= 4:
                 f_out = (fc - 3) // 2 + 1
-                tile_out = pick_tile_m(tc, f_out, en[i], en[i], en[i])
+                tile_out = pick_tile_m(tc, f_out, en[i], en[i], en[i],
+                                       precise=precise)
                 bundle = TrunkDownFlat(en[i], name=f"enc{i}")(
                     bundle, t=tc, f_in=fc, tile_in=tile, tile_out=tile_out,
                     precise=precise,
